@@ -1,0 +1,405 @@
+"""ModalityAgnosticTransformer (MAT) as pure functions over pytrees.
+
+Re-architecture of the reference's ``ModalityAgnosticTransformer``
+(reference ``src/models/mome.py:671-922``) for TPU/XLA:
+
+* Every per-modality 12-deep transformer stack is stored as **stacked-layer
+  leaves** (leading ``depth`` axis) and executed with ``jax.lax.scan`` — one
+  compiled block body instead of 12 unrolled ones.
+* Modality slots: a model is configured with a ``modalities`` tuple such as
+  ``('img', None)`` / ``(None, 'txt')`` / ``('img', 'txt')``; absent slots
+  simply have no parameters (the functional analog of the reference's
+  ``None`` ``nn.ModuleList`` entries, mome.py:712-750).
+* FedCola aux (cross-modal reparameterisation, mome.py:42-97): for uni-modal
+  models built ``with_aux``, an ``aux`` collection holds per-layer
+  ``aux_weight`` stacks and ``cross_modal_scale`` scalars; the effective
+  matmul operand is ``W + scale * W_aux`` folded directly into the kernel.
+
+Numerics parity with the reference:
+* attention logits + softmax in float32 (mome.py:157-162);
+* block LayerNorm eps=1e-5 (torch default), final norm eps=1e-6
+  (mome.py:751), Bert text-embedding LayerNorm eps=1e-12;
+* stochastic depth (DropPath) with per-layer rate ``linspace(0, p, depth)``
+  (mome.py:726-728) is the only active stochastic regulariser in the
+  reference configuration;
+* no attention mask — the reference's ``nn.Sequential`` stacks cannot thread
+  one (mome.py:902-907), so padded text tokens attend fully;
+* parameter init mirrors torch defaults (kaiming-uniform a=sqrt(5) for
+  linear/conv, N(0,1) for embedding tables, zeros for cls/pos tokens) since
+  the reference never applies a custom init to MAT.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fedcola_tpu.ops.attention import multi_head_attention
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class MATConfig:
+    """Static model configuration (hashable: safe as a jit static arg)."""
+    modalities: Tuple[Optional[str], ...] = ("img", "txt")
+    tasks: Tuple[Optional[str], ...] = ("cls", None)
+    num_classes: Tuple[Optional[int], ...] = (None, None)
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    vocab_size: int = 30522
+    max_text_len: int = 40
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    shared_param: str = "none"
+    share_scope: str = "dataset"
+    colearn_param: str = "none"
+    with_aux: bool = False
+    aux_trained: bool = False
+    aux_attn_only: bool = False
+    aux_mlp_only: bool = False
+    use_pallas: bool = True
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    @property
+    def hidden_dim(self) -> int:
+        return int(self.embed_dim * self.mlp_ratio)
+
+    @property
+    def main_slot(self) -> int:
+        """First present modality slot (reference mome.py:768-771,819-822)."""
+        for i, m in enumerate(self.modalities):
+            if m is not None:
+                return i
+        raise ValueError("model has no present modality")
+
+    @property
+    def is_multimodal(self) -> bool:
+        return sum(m is not None for m in self.modalities) > 1
+
+    @property
+    def has_aux(self) -> bool:
+        """Aux collection exists only for uni-modal ``with_aux`` models
+        (mome.py:767-768: ``if self.with_aux and None in self.modalities``)."""
+        return self.with_aux and (None in self.modalities)
+
+    @property
+    def aux_layer_kinds(self) -> Tuple[str, ...]:
+        """Which linear layers are reparameterised (mome.py:772-784)."""
+        if self.aux_attn_only:
+            return ("qkv", "proj")
+        if self.aux_mlp_only:
+            return ("fc1", "fc2")
+        return ("qkv", "proj", "fc1", "fc2")
+
+    @property
+    def drop_path_rates(self) -> Tuple[float, ...]:
+        if self.depth == 1:
+            return (0.0,)
+        return tuple(float(x) for x in
+                     np.linspace(0.0, self.drop_path_rate, self.depth))
+
+    def replace(self, **kw) -> "MATConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ------------------------------------------------------------------ init ---
+
+def _uniform(rng, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(rng, shape, dtype, minval=-bound, maxval=bound)
+
+
+def _linear_init(rng, fan_in: int, shape_kernel, shape_bias):
+    """torch nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))
+    for both kernel and bias."""
+    k_rng, b_rng = jax.random.split(rng)
+    bound = 1.0 / math.sqrt(fan_in)
+    return (_uniform(k_rng, shape_kernel, bound),
+            _uniform(b_rng, shape_bias, bound))
+
+
+def _init_image_embedding(cfg: MATConfig, rng) -> Params:
+    """PatchEmbed conv + cls token + learned pos embed
+    (reference mome.py:578-611)."""
+    P, C, D = cfg.patch_size, cfg.in_chans, cfg.embed_dim
+    fan_in = C * P * P
+    k, b = _linear_init(rng, fan_in, (P, P, C, D), (D,))
+    return {
+        "patch_kernel": k,                      # [P, P, C, D]
+        "patch_bias": b,                        # [D]
+        "cls": jnp.zeros((1, 1, D)),            # mome.py:595 (zeros)
+        "pos": jnp.zeros((1, cfg.num_patches + 1, D)),  # mome.py:592 (zeros)
+    }
+
+
+def _init_text_embedding(cfg: MATConfig, rng) -> Params:
+    """BertEmbeddings-equivalent (reference mome.py:613-639).  Standalone
+    ``BertEmbeddings`` keeps torch's default N(0,1) embedding init."""
+    r1, r2, r3 = jax.random.split(rng, 3)
+    D = cfg.embed_dim
+    return {
+        "word": jax.random.normal(r1, (cfg.vocab_size, D)),
+        "posemb": jax.random.normal(r2, (cfg.max_text_len, D)),
+        "toktype": jax.random.normal(r3, (2, D)),
+        "ln_scale": jnp.ones((D,)),
+        "ln_bias": jnp.zeros((D,)),
+    }
+
+
+def _init_block_stack(cfg: MATConfig, rng) -> Params:
+    """One modality's ``depth``-deep stack, leaves stacked on axis 0
+    (reference Block, mome.py:186-228)."""
+    D, H, depth = cfg.embed_dim, cfg.hidden_dim, cfg.depth
+    rngs = jax.random.split(rng, 4 * depth).reshape(depth, 4, 2)
+    qkv_k, qkv_b = [], []
+    proj_k, proj_b = [], []
+    fc1_k, fc1_b = [], []
+    fc2_k, fc2_b = [], []
+    for i in range(depth):
+        k, b = _linear_init(rngs[i, 0], D, (D, 3 * D), (3 * D,))
+        qkv_k.append(k); qkv_b.append(b)
+        k, b = _linear_init(rngs[i, 1], D, (D, D), (D,))
+        proj_k.append(k); proj_b.append(b)
+        k, b = _linear_init(rngs[i, 2], D, (D, H), (H,))
+        fc1_k.append(k); fc1_b.append(b)
+        k, b = _linear_init(rngs[i, 3], H, (H, D), (D,))
+        fc2_k.append(k); fc2_b.append(b)
+    return {
+        "norm1_scale": jnp.ones((depth, D)), "norm1_bias": jnp.zeros((depth, D)),
+        "qkv_kernel": jnp.stack(qkv_k), "qkv_bias": jnp.stack(qkv_b),
+        "proj_kernel": jnp.stack(proj_k), "proj_bias": jnp.stack(proj_b),
+        "norm2_scale": jnp.ones((depth, D)), "norm2_bias": jnp.zeros((depth, D)),
+        "fc1_kernel": jnp.stack(fc1_k), "fc1_bias": jnp.stack(fc1_b),
+        "fc2_kernel": jnp.stack(fc2_k), "fc2_bias": jnp.stack(fc2_b),
+    }
+
+
+def init_mat(cfg: MATConfig, rng) -> Params:
+    """Build the full parameter pytree for one MAT."""
+    params: Params = {"emb": {}, "blk": {}, "head": {}}
+    n_slots = len(cfg.modalities)
+    rngs = jax.random.split(rng, 2 * n_slots + 2)
+
+    for i, modality in enumerate(cfg.modalities):
+        if modality == "img":
+            params["emb"][str(i)] = _init_image_embedding(cfg, rngs[2 * i])
+        elif modality == "txt":
+            params["emb"][str(i)] = _init_text_embedding(cfg, rngs[2 * i])
+        elif modality is not None:
+            raise NotImplementedError(modality)
+        if modality is not None:
+            params["blk"][str(i)] = _init_block_stack(cfg, rngs[2 * i + 1])
+
+    # colearn_param='attn' ties every layer's attn between the two stacks of
+    # a multimodal model (mome.py:837-841).  Functionally: the non-main
+    # slot's attn leaves are dropped; apply() reads them from the main slot.
+    if cfg.colearn_param == "attn" and cfg.is_multimodal:
+        main = str(cfg.main_slot)
+        for i, m in enumerate(cfg.modalities):
+            if m is not None and str(i) != main:
+                for leaf in ("qkv_kernel", "qkv_bias", "proj_kernel", "proj_bias"):
+                    del params["blk"][str(i)][leaf]
+    # colearn_param='blocks' is a no-op local rebinding in the reference
+    # (mome.py:833-836) — parity: nothing tied.
+
+    # shared final norm (mome.py:751-752)
+    params["norm"] = {"scale": jnp.ones((cfg.embed_dim,)),
+                      "bias": jnp.zeros((cfg.embed_dim,))}
+
+    # heads (mome.py:754-765): cls -> Linear, rtv -> identity (no params)
+    for i, task in enumerate(cfg.tasks):
+        if task == "cls":
+            nc = cfg.num_classes[i]
+            k, b = _linear_init(rngs[2 * n_slots], cfg.embed_dim,
+                                (cfg.embed_dim, nc), (nc,))
+            params["head"][str(i)] = {"kernel": k, "bias": b}
+
+    # aux collection (mome.py:767-786): aux_weight starts as a copy of the
+    # model's own main-stack weights, cross_modal_scale starts at zero.
+    if cfg.has_aux:
+        main_blk = params["blk"][str(cfg.main_slot)]
+        aux: Params = {}
+        for kind in cfg.aux_layer_kinds:
+            aux[f"{kind}_aux"] = jnp.array(main_blk[f"{kind}_kernel"])
+            aux[f"{kind}_scale"] = jnp.zeros((cfg.depth,))
+        params["aux"] = aux
+
+    return params
+
+
+# --------------------------------------------------------------- forward ---
+
+def _layer_norm(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _drop_path(x, rate, rng, train: bool):
+    """Per-sample stochastic depth (timm DropPath semantics)."""
+    if not train:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def _effective_kernels(cfg: MATConfig, params: Params, slot: str) -> Params:
+    """Fold aux reparam ``W_eff = W + scale * W_aux`` (mome.py:58-60) into the
+    stacked kernels of the main slot.  Returns the block stack to run."""
+    blk = dict(params["blk"][slot])
+    if cfg.has_aux and int(slot) == cfg.main_slot and "aux" in params:
+        aux = params["aux"]
+        for kind in cfg.aux_layer_kinds:
+            key = f"{kind}_kernel"
+            scale = aux[f"{kind}_scale"][:, None, None]
+            blk[key] = blk[key] + scale * aux[f"{kind}_aux"]
+    # colearn attn tying: read attn leaves from the main slot
+    if cfg.colearn_param == "attn" and cfg.is_multimodal \
+            and int(slot) != cfg.main_slot:
+        main = params["blk"][str(cfg.main_slot)]
+        for leaf in ("qkv_kernel", "qkv_bias", "proj_kernel", "proj_bias"):
+            blk[leaf] = main[leaf]
+    return blk
+
+
+def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
+               train: bool, rng) -> jnp.ndarray:
+    """Scan the stacked transformer layers over x: [B, N, D]."""
+    dpr = jnp.asarray(cfg.drop_path_rates, dtype=jnp.float32)
+
+    def layer_fwd(h, layer, rate, rng_a, rng_m):
+        a = _layer_norm(h, layer["norm1_scale"], layer["norm1_bias"], 1e-5)
+        a = multi_head_attention(a, layer["qkv_kernel"], layer["qkv_bias"],
+                                 layer["proj_kernel"], layer["proj_bias"],
+                                 cfg.num_heads, use_pallas=cfg.use_pallas)
+        h = h + _drop_path(a, rate, rng_a, train)
+        m = _layer_norm(h, layer["norm2_scale"], layer["norm2_bias"], 1e-5)
+        m = m @ layer["fc1_kernel"].astype(m.dtype) + layer["fc1_bias"].astype(m.dtype)
+        m = jax.nn.gelu(m, approximate=False)   # torch nn.GELU default: exact
+        m = m @ layer["fc2_kernel"].astype(m.dtype) + layer["fc2_bias"].astype(m.dtype)
+        h = h + _drop_path(m, rate, rng_m, train)
+        return h
+
+    if train:
+        layer_rngs = jax.random.split(rng, (cfg.depth, 2))
+
+        def body(h, xs):
+            layer, rate, ks = xs
+            return layer_fwd(h, layer, rate, ks[0], ks[1]), None
+
+        out, _ = jax.lax.scan(body, x, (blk, dpr, layer_rngs))
+    else:
+        def body(h, xs):
+            layer, rate = xs
+            return layer_fwd(h, layer, rate, None, None), None
+
+        out, _ = jax.lax.scan(body, x, (blk, dpr))
+    return out
+
+
+def _embed_image(cfg: MATConfig, emb: Params, x: jnp.ndarray,
+                 train: bool, rng) -> jnp.ndarray:
+    """Patchify [B, H, W, C] -> [B, N+1, D].  The conv patchify is expressed
+    as reshape+matmul, which XLA maps straight onto the MXU."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    B, H, W, C = x.shape
+    P = cfg.patch_size
+    # 1-channel -> 3-channel repeat (reference mome.py:893-894)
+    if C == 1 and cfg.in_chans == 3:
+        x = jnp.repeat(x, 3, axis=-1)
+        C = 3
+    x = x.astype(dtype)
+    gh, gw = H // P, W // P
+    x = x.reshape(B, gh, P, gw, P, C).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, gh * gw, P * P * C)
+    kernel = emb["patch_kernel"].reshape(P * P * C, cfg.embed_dim)
+    x = x @ kernel.astype(dtype) + emb["patch_bias"].astype(dtype)
+    cls = jnp.broadcast_to(emb["cls"].astype(dtype),
+                           (B, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + emb["pos"].astype(dtype)
+    if train and cfg.drop_rate > 0:
+        x = jnp.where(jax.random.bernoulli(rng, 1 - cfg.drop_rate, x.shape),
+                      x / (1 - cfg.drop_rate), 0)
+    return x
+
+
+def _embed_text(cfg: MATConfig, emb: Params, ids: jnp.ndarray,
+                train: bool, rng) -> jnp.ndarray:
+    """BertEmbeddings: word + absolute position + token-type(0), then
+    LayerNorm(eps=1e-12) (reference mome.py:613-639)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    B, L = ids.shape
+    x = emb["word"][ids]
+    x = x + emb["posemb"][:L][None, :, :]
+    x = x + emb["toktype"][0][None, None, :]
+    x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], 1e-12)
+    return x.astype(dtype)
+
+
+def mat_apply(cfg: MATConfig, params: Params,
+              inputs: Sequence[Optional[jnp.ndarray]],
+              feat_out: bool = False, train: bool = False,
+              rng=None):
+    """Forward pass (reference mome.py:881-922).
+
+    ``inputs`` is slot-aligned: image slots take [B, H, W, C] (NHWC,
+    normalised floats or uint8 pixels pre-scaled by the data plane), text
+    slots take [B, L] int token ids, absent slots take None.  Returns a
+    slot-aligned list: logits (cls head), normalised CLS features (rtv head
+    or ``feat_out=True``), or None for absent slots.
+    """
+    if train and rng is None:
+        raise ValueError("training forward needs an rng")
+    n_slots = len(cfg.modalities)
+    rngs = jax.random.split(rng, 2 * n_slots) if train else [None] * (2 * n_slots)
+
+    outs = [None] * n_slots
+    for i, modality in enumerate(cfg.modalities):
+        if modality is None:
+            continue
+        if inputs[i] is None:
+            continue
+        s = str(i)
+        if modality == "img":
+            h = _embed_image(cfg, params["emb"][s], inputs[i], train, rngs[2 * i])
+        else:
+            h = _embed_text(cfg, params["emb"][s], inputs[i], train, rngs[2 * i])
+        blk = _effective_kernels(cfg, params, s)
+        h = _run_stack(cfg, blk, h, train, rngs[2 * i + 1])
+        h = _layer_norm(h, params["norm"]["scale"], params["norm"]["bias"], 1e-6)
+
+        cls_tok = h[:, 0].astype(jnp.float32)
+        if feat_out or cfg.tasks[i] == "rtv":
+            norm = jnp.linalg.norm(cls_tok, axis=-1, keepdims=True)
+            outs[i] = cls_tok / jnp.maximum(norm, 1e-12)
+        elif cfg.tasks[i] == "cls":
+            head = params["head"][s]
+            outs[i] = cls_tok @ head["kernel"].astype(jnp.float32) \
+                + head["bias"].astype(jnp.float32)
+        else:
+            outs[i] = cls_tok
+    return outs
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,184 @@
+"""Batched client local updates: the north-star TPU re-architecture.
+
+The reference trains sampled clients *sequentially in Python threads*
+(``FedavgServer._request`` -> ``FedavgClient.update``,
+fedavgserver.py:505-589, fedavgclient.py:55-118).  Here a round's sampled
+clients are grouped by dataset (same model structure, same modality, same
+loss), their parameters/optimizer states/data are stacked on a leading
+``client`` axis, and local SGD runs as **one jitted program per group**:
+
+    vmap(client) [ lax.scan(steps) [ forward + backward + optimizer ] ]
+
+The client axis can be sharded over a ``jax.sharding.Mesh`` so a v5e-8 runs
+eight clients' local epochs simultaneously — replacing thread parallelism
+(P1 in SURVEY.md §2.8) with SPMD.
+
+Heterogeneity handling:
+* clients in a group can have different local dataset sizes -> per-step
+  ``step_valid`` masks make padded steps an exact no-op (params, moments and
+  the optimizer step counter are untouched), reproducing per-client
+  ``len(loader)`` loop lengths;
+* partial final batches (DataLoader ``drop_last=False``) -> per-sample
+  ``valid`` masks inside the loss, so the mean matches torch's batch mean;
+* the freeze window (``--freeze_modality``, fedavgserver.py:422-429) -> a
+  static per-leaf frozen mask, compiled as a separate program variant.
+
+Epoch boundaries live on the host (each epoch reshuffles host-side index
+maps, like DataLoader(shuffle=True)); within an epoch the steps are scanned
+on device in chunks of ``train_chunk_steps`` so that host->HBM feeding
+(uint8 pixels / int32 token ids) overlaps compute via async dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fedcola_tpu.models.mat import MATConfig, mat_apply
+from fedcola_tpu.ops import losses
+from fedcola_tpu.parallel.optim import OptimizerSpec, init_opt_state, opt_update
+
+
+@dataclass(frozen=True)
+class GroupSpec:
+    """Static description of one client group's local training program."""
+    modality: str                  # img | txt | img+txt
+    criterion: str                 # CrossEntropyLoss | ContrastiveLoss | ...
+    img_slot: int = 0
+    txt_slot: int = 1
+    resize_to: Optional[int] = None      # device-side resize (e.g. 32->224)
+    imnorm: bool = False                 # (x/255 - .5)/.5 (data.py:107-109)
+    mu: float = 0.0                      # fedprox proximal coefficient
+    algorithm: str = "fedavg"
+
+
+def preprocess_images(x: jnp.ndarray, spec: GroupSpec,
+                      dtype=jnp.bfloat16) -> jnp.ndarray:
+    """uint8 NHWC pixels -> normalised float NHWC, on device.
+
+    The reference resizes/normalises on the host inside torchvision
+    transforms (data.py:86-134); moving this on-device makes the host->HBM
+    transfer uint8 (4x smaller than fp32) and turns resize into cheap XLA.
+    """
+    x = x.astype(jnp.float32) / 255.0
+    if spec.imnorm:
+        x = (x - 0.5) / 0.5
+    if spec.resize_to is not None and x.shape[1] != spec.resize_to:
+        B = x.shape[0]
+        x = jax.image.resize(
+            x, (B, spec.resize_to, spec.resize_to, x.shape[-1]), "bilinear")
+    return x.astype(dtype)
+
+
+def _local_loss(cfg: MATConfig, spec: GroupSpec, params, batch,
+                rng, global_params):
+    """Modality-routed loss (reference fedavgclient.py:81-95)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    valid = batch["valid"]
+    if spec.modality == "img":
+        x = preprocess_images(batch["x"], spec, dtype)
+        ins = [None] * len(cfg.modalities)
+        ins[spec.img_slot] = x
+        logits = mat_apply(cfg, params, ins, train=True, rng=rng)[spec.img_slot]
+        loss = losses.cross_entropy(logits, batch["y"], valid)
+        correct = jnp.sum((jnp.argmax(logits, -1) == batch["y"]) & valid)
+    elif spec.modality == "txt":
+        ins = [None] * len(cfg.modalities)
+        ins[spec.txt_slot] = batch["x"]
+        logits = mat_apply(cfg, params, ins, train=True, rng=rng)[spec.txt_slot]
+        loss = losses.cross_entropy(logits, batch["y"], valid)
+        correct = jnp.sum((jnp.argmax(logits, -1) == batch["y"]) & valid)
+    elif spec.modality == "img+txt":
+        img = preprocess_images(batch["x"], spec, dtype)
+        ins = [None] * len(cfg.modalities)
+        ins[spec.img_slot] = img
+        ins[spec.txt_slot] = batch["y"]          # token ids ride the target slot
+        feats = mat_apply(cfg, params, ins, feat_out=True, train=True, rng=rng)
+        loss = losses.clip_contrastive(feats[spec.img_slot],
+                                       feats[spec.txt_slot], valid)
+        correct = jnp.zeros((), jnp.int32)
+    else:
+        raise NotImplementedError(spec.modality)
+
+    if spec.algorithm == "fedprox" and spec.mu > 0:
+        loss = loss + losses.fedprox_term(params, global_params, spec.mu)
+    n_valid = jnp.sum(valid)
+    return loss, (correct, n_valid)
+
+
+@functools.lru_cache(maxsize=32)
+def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
+                       frozen_token: Optional[Tuple[Tuple[str, ...], ...]] = None):
+    """Compile the vmapped chunk-update for one (model, group, optimizer,
+    freeze-mask) combination.  ``frozen_token``: tuple of frozen leaf paths
+    (hashable stand-in for the mask pytree)."""
+
+    def make_frozen_mask(params):
+        if not frozen_token:
+            return None
+        frozen_set = set(frozen_token)
+
+        def walk(node, path):
+            if isinstance(node, dict):
+                return {k: walk(v, path + (k,)) for k, v in node.items()}
+            return path in frozen_set
+
+        return walk(params, ())
+
+    def chunk_fn(params, opt_state, chunk, rng, lr, global_params):
+        """chunk: dict of [S, ...] arrays + step_valid [S].  Returns updated
+        (params, opt_state) and per-step (loss, correct, n_valid)."""
+        frozen = make_frozen_mask(params)
+        S = chunk["step_valid"].shape[0]
+        rngs = jax.random.split(rng, S)
+
+        def body(carry, xs):
+            p, st = carry
+            batch, sv, r = xs
+            grad_fn = jax.value_and_grad(
+                lambda pp: _local_loss(cfg, spec, pp, batch, r, global_params),
+                has_aux=True)
+            (loss, (correct, n_valid)), grads = grad_fn(p)
+            p2, st2 = opt_update(opt, p, grads, st, lr, frozen=frozen,
+                                 step_valid=sv)
+            return (p2, st2), (loss, correct, n_valid)
+
+        batches = {k: v for k, v in chunk.items() if k != "step_valid"}
+        (params, opt_state), (loss_s, cor_s, nv_s) = jax.lax.scan(
+            body, (params, opt_state), (batches, chunk["step_valid"], rngs))
+        return params, opt_state, (loss_s, cor_s, nv_s)
+
+    vmapped = jax.vmap(chunk_fn, in_axes=(0, 0, 0, 0, None, None))
+    return jax.jit(vmapped, donate_argnums=(0, 1))
+
+
+def init_group_opt_states(opt: OptimizerSpec, stacked_params):
+    """Optimizer state for a stacked [n_clients, ...] parameter tree."""
+    return init_opt_state(opt, stacked_params)
+
+
+# ----------------------------------------------------------------- eval ----
+
+@functools.lru_cache(maxsize=32)
+def build_eval_forward(cfg: MATConfig, spec: GroupSpec):
+    """Jitted inference forward for central/local evaluation."""
+
+    def fwd(params, batch):
+        dtype = jnp.dtype(cfg.compute_dtype)
+        ins = [None] * len(cfg.modalities)
+        if spec.modality == "img":
+            ins[spec.img_slot] = preprocess_images(batch["x"], spec, dtype)
+            return mat_apply(cfg, params, ins)[spec.img_slot]
+        if spec.modality == "txt":
+            ins[spec.txt_slot] = batch["x"]
+            return mat_apply(cfg, params, ins)[spec.txt_slot]
+        ins[spec.img_slot] = preprocess_images(batch["x"], spec, dtype)
+        ins[spec.txt_slot] = batch["y"]
+        outs = mat_apply(cfg, params, ins, feat_out=True)
+        return outs[spec.img_slot], outs[spec.txt_slot]
+
+    return jax.jit(fwd)

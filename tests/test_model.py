@@ -1,0 +1,123 @@
+"""MAT model unit tests: shapes, modality slots, aux reparam, determinism."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fedcola_tpu.models.mat import MATConfig, init_mat, mat_apply, param_count
+from fedcola_tpu.models import naming
+
+TOY = MATConfig(
+    modalities=("img", "txt"), tasks=("rtv", "rtv"), num_classes=(None, None),
+    img_size=32, patch_size=16, embed_dim=8, depth=2, num_heads=2,
+    vocab_size=100, max_text_len=12, use_pallas=False,
+    compute_dtype="float32",
+)
+
+IMG_ONLY = TOY.replace(modalities=("img", None), tasks=("cls", None),
+                       num_classes=(10, None))
+TXT_ONLY = TOY.replace(modalities=(None, "txt"), tasks=(None, "cls"),
+                       num_classes=(None, 5))
+
+
+def test_mm_forward_shapes():
+    params = init_mat(TOY, jax.random.PRNGKey(0))
+    img = jnp.zeros((3, 32, 32, 3))
+    txt = jnp.zeros((3, 12), jnp.int32)
+    outs = mat_apply(TOY, params, [img, txt], feat_out=True)
+    assert outs[0].shape == (3, 8) and outs[1].shape == (3, 8)
+    # L2-normalised CLS features (mome.py:911-915)
+    np.testing.assert_allclose(np.linalg.norm(outs[0], axis=-1), 1.0, rtol=1e-5)
+
+
+def test_unimodal_slots():
+    p_img = init_mat(IMG_ONLY, jax.random.PRNGKey(0))
+    p_txt = init_mat(TXT_ONLY, jax.random.PRNGKey(0))
+    assert "0" in p_img["blk"] and "1" not in p_img["blk"]
+    assert "1" in p_txt["blk"] and "0" not in p_txt["blk"]
+    img = jnp.zeros((2, 32, 32, 3))
+    outs = mat_apply(IMG_ONLY, p_img, [img, None])
+    assert outs[0].shape == (2, 10) and outs[1] is None
+    txt = jnp.zeros((2, 12), jnp.int32)
+    outs = mat_apply(TXT_ONLY, p_txt, [None, txt])
+    assert outs[1].shape == (2, 5) and outs[0] is None
+
+
+def test_grayscale_repeat():
+    """1-channel inputs repeat to 3 channels (mome.py:893-894)."""
+    params = init_mat(IMG_ONLY, jax.random.PRNGKey(0))
+    g = jnp.ones((2, 32, 32, 1))
+    rgb = jnp.ones((2, 32, 32, 3))
+    o1 = mat_apply(IMG_ONLY, params, [g, None])[0]
+    o2 = mat_apply(IMG_ONLY, params, [rgb, None])[0]
+    np.testing.assert_allclose(o1, o2, rtol=1e-6)
+
+
+def test_aux_scale_zero_is_identity():
+    """With cross_modal_scale init 0, aux must not change the forward
+    (mome.py:49,58-60)."""
+    cfg = IMG_ONLY.replace(with_aux=True, aux_trained=True)
+    params_aux = init_mat(cfg, jax.random.PRNGKey(0))
+    params_plain = {k: v for k, v in params_aux.items() if k != "aux"}
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    o1 = mat_apply(cfg, params_aux, [img, None])[0]
+    o2 = mat_apply(IMG_ONLY, params_plain, [img, None])[0]
+    np.testing.assert_allclose(o1, o2, rtol=1e-6)
+
+
+def test_aux_nonzero_scale_changes_forward():
+    cfg = IMG_ONLY.replace(with_aux=True, aux_trained=True)
+    params = init_mat(cfg, jax.random.PRNGKey(0))
+    params["aux"]["qkv_scale"] = params["aux"]["qkv_scale"] + 0.5
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    base = {k: v for k, v in params.items() if k != "aux"}
+    o1 = mat_apply(cfg, params, [img, None])[0]
+    o2 = mat_apply(IMG_ONLY, base, [img, None])[0]
+    assert not np.allclose(o1, o2)
+
+
+def test_colearn_attn_ties_stacks():
+    """colearn_param='attn' shares attention between modalities
+    (mome.py:837-841)."""
+    cfg = TOY.replace(colearn_param="attn")
+    params = init_mat(cfg, jax.random.PRNGKey(0))
+    assert "qkv_kernel" not in params["blk"]["1"]
+    img = jnp.zeros((2, 32, 32, 3))
+    txt = jnp.zeros((2, 12), jnp.int32)
+    outs = mat_apply(cfg, params, [img, txt], feat_out=True)
+    assert outs[0].shape == (2, 8)
+
+
+def test_train_forward_stochastic_depth():
+    cfg = TOY.replace(drop_path_rate=0.5)
+    params = init_mat(cfg, jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    o1 = mat_apply(cfg, params, [img, None], train=True,
+                   rng=jax.random.PRNGKey(2))[0]
+    o2 = mat_apply(cfg, params, [img, None], train=True,
+                   rng=jax.random.PRNGKey(3))[0]
+    assert not np.allclose(o1, o2)
+    # eval is deterministic
+    e1 = mat_apply(cfg, params, [img, None])[0]
+    e2 = mat_apply(cfg, params, [img, None])[0]
+    np.testing.assert_allclose(e1, e2)
+
+
+def test_param_counts_vit_small_shape():
+    """ViT-small stack (embed 384, depth 12) ~21.6M params per modality
+    stack + embeddings, sanity bound."""
+    cfg = MATConfig(modalities=("img", None), tasks=("cls", None),
+                    num_classes=(100, None), embed_dim=384, depth=12,
+                    num_heads=6, use_pallas=False)
+    params = init_mat(cfg, jax.random.PRNGKey(0))
+    n = param_count(params)
+    assert 21_000_000 < n < 23_000_000
+
+
+def test_naming_roundtrip_paths_exist():
+    for cfg in (TOY, IMG_ONLY, TXT_ONLY,
+                IMG_ONLY.replace(with_aux=True)):
+        params = init_mat(cfg, jax.random.PRNGKey(0))
+        for path, name in naming.param_names(cfg):
+            naming.get_by_path(params, path)  # must not raise
