@@ -1,0 +1,145 @@
+"""Host -> HBM feeding for batched client updates.
+
+The reference feeds each client from its own torch DataLoader inside a
+thread (fedavgclient.py:44-53).  Here one *group feeder* serves a whole
+client group: for every epoch it reshuffles each client's index map
+(DataLoader(shuffle=True) parity), gathers uint8/int32 columns from the
+TaskDataset, stacks them to ``[n_clients, chunk_steps, B, ...]`` and hands
+chunks to the jitted update program.  A one-deep background prefetch thread
+overlaps host gather/decode with device compute (the double-buffered host
+pipeline from BASELINE.json's north star).
+
+Step masks:
+* ``step_valid[c, s]`` — client c has ceil(n_c/B) real steps per epoch;
+  padded steps are exact no-ops in the optimizer;
+* ``valid[c, s, b]`` — the last real batch may be partial
+  (DataLoader drop_last=False); losses mean over valid rows only.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from fedcola_tpu.data.datasets import TaskDataset
+
+
+@dataclass
+class ClientShard:
+    """A client's training view: dataset + its index map."""
+    dataset: TaskDataset
+    indices: np.ndarray
+
+    @property
+    def n(self) -> int:
+        return len(self.indices)
+
+
+def _gather_batch(ds: TaskDataset, idx: np.ndarray, B: int, modality: str):
+    """Gather one batch, padding to B with repeated index 0 rows."""
+    nb = len(idx)
+    pad = B - nb
+    if pad:
+        idx = np.concatenate([idx, np.repeat(idx[:1] if nb else [0], pad)])
+    valid = np.zeros((B,), bool)
+    valid[:nb] = True
+    out: Dict[str, np.ndarray] = {"valid": valid}
+    if modality == "img":
+        out["x"] = ds.load_images(idx)
+        out["y"] = ds.targets[idx].astype(np.int32)
+    elif modality == "txt":
+        out["x"] = ds.texts[idx]
+        out["y"] = ds.targets[idx].astype(np.int32)
+    else:  # img+txt: token ids ride the target slot (fedavgclient.py:92-95)
+        out["x"] = ds.load_images(idx)
+        out["y"] = ds.texts[idx]
+    return out
+
+
+class GroupFeeder:
+    """Produces per-epoch chunked, stacked batches for one client group."""
+
+    def __init__(self, shards: List[ClientShard], B: int, modality: str,
+                 chunk_steps: int = 8, shuffle: bool = True,
+                 rng: Optional[np.random.RandomState] = None,
+                 debug_two_batches: bool = False):
+        self.shards = shards
+        self.B = B if B > 0 else max(s.n for s in shards)
+        self.modality = modality
+        self.chunk_steps = chunk_steps
+        self.shuffle = shuffle
+        self.rng = rng or np.random.RandomState(0)
+        self.steps_per_client = np.array(
+            [min(-(-s.n // self.B), 2) if debug_two_batches
+             else -(-s.n // self.B) for s in shards])
+        self.max_steps = int(self.steps_per_client.max())
+        self.debug_two_batches = debug_two_batches
+
+    def epoch_chunks(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield chunks of stacked batches covering one epoch."""
+        B, S = self.B, self.max_steps
+        orders = []
+        for shard in self.shards:
+            order = shard.indices.copy()
+            if self.shuffle:
+                self.rng.shuffle(order)
+            orders.append(order)
+
+        for start in range(0, S, self.chunk_steps):
+            stop = min(start + self.chunk_steps, S)
+            Sc = stop - start
+            chunk_per_client = []
+            for c, shard in enumerate(self.shards):
+                batches = []
+                for s in range(start, stop):
+                    if s < self.steps_per_client[c]:
+                        idx = orders[c][s * B:(s + 1) * B]
+                        b = _gather_batch(shard.dataset, idx, B, self.modality)
+                    else:
+                        idx = orders[c][:1] if shard.n else np.array([0])
+                        b = _gather_batch(shard.dataset, idx, B, self.modality)
+                        b["valid"][:] = False
+                    batches.append(b)
+                stacked = {k: np.stack([b[k] for b in batches])
+                           for k in batches[0]}
+                stacked["step_valid"] = (
+                    np.arange(start, stop) < self.steps_per_client[c])
+                chunk_per_client.append(stacked)
+            yield {k: np.stack([cc[k] for cc in chunk_per_client])
+                   for k in chunk_per_client[0]}
+
+    def round_chunks(self, epochs: int) -> Iterator[Dict[str, np.ndarray]]:
+        for _ in range(epochs):
+            yield from self.epoch_chunks()
+
+
+class Prefetcher:
+    """One-deep background prefetch: overlap host gather/decode with device
+    compute."""
+
+    def __init__(self, it: Iterator, depth: int = 2):
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self.it = it
+        self._sentinel = object()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        try:
+            for item in self.it:
+                self.q.put(item)
+        finally:
+            self.q.put(self._sentinel)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is self._sentinel:
+            raise StopIteration
+        return item

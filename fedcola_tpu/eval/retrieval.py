@@ -1,0 +1,155 @@
+"""Image-text retrieval evaluator (reference ``COCOEvaluator``,
+src/metrics/eval_coco.py:90-465).
+
+Pipeline parity:
+* feature extraction runs the MAT with ``feat_out=True`` over the test set
+  (batched, shuffled order like the reference's shuffle=True eval loader,
+  eval_coco.py:174-199), dedupes images by image_id keeping first-seen
+  order, and re-sorts caption features so each image's 5 captions are
+  contiguous (the alignment pass at eval_coco.py:210-221);
+* ``evaluate_recall`` replaces the reference's per-query rank loops
+  (eval_coco.py:290-351 + ParallelMatMulModule) with one fused device
+  computation: a [n_q, n_g] similarity matmul, a double argsort for ranks,
+  and a masked min over positives — no host loops;
+* ``evaluate_n_fold`` = 5 positional crossfolds of 1k images / 5k captions
+  (eval_coco.py:353-407);
+* returned structure matches ``evaluate`` (eval_coco.py:409-465):
+  {'n_fold': {'i2t': {...}, 't2i': {...}}, 'i2t': {...}, 't2i': {...},
+  'rsum'/'medr'/'meanr' summed over directions}.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fedcola_tpu.data.datasets import TaskDataset
+from fedcola_tpu.models.mat import MATConfig
+from fedcola_tpu.parallel.client_update import GroupSpec, build_eval_forward
+
+
+def extract_features(cfg: MATConfig, spec: GroupSpec, params,
+                     dataset: TaskDataset, batch_size: int = 512,
+                     rng: Optional[np.random.RandomState] = None):
+    """Returns aligned (image_features [n_img, D], caption_features
+    [n_cap, D], image_classes, caption_classes)."""
+    fwd = build_eval_forward(cfg, spec)
+    n = dataset.n
+    order = np.arange(n)
+    if rng is not None:
+        rng.shuffle(order)
+
+    D = cfg.embed_dim
+    img_feats, cap_feats = [], []
+    img_ids_seen: Dict[int, int] = {}
+    image_feature_rows = []
+    image_classes = []
+    caption_classes = []
+
+    for start in range(0, n, batch_size):
+        idx = order[start:start + batch_size]
+        pad = batch_size - len(idx)
+        gidx = np.concatenate([idx, np.repeat(idx[:1], pad)]) if pad else idx
+        batch = {
+            "x": dataset.load_images(gidx),
+            "y": dataset.texts[gidx],
+        }
+        fi, ft = fwd(params, batch)
+        fi = np.asarray(fi[:len(idx)], np.float32)
+        ft = np.asarray(ft[:len(idx)], np.float32)
+        for j, i in enumerate(idx):
+            image_id = int(dataset.image_ids[i])
+            if image_id not in img_ids_seen:
+                img_ids_seen[image_id] = len(image_feature_rows)
+                image_feature_rows.append(fi[j])
+                image_classes.append(image_id)
+            cap_feats.append(ft[j])
+            caption_classes.append(image_id)
+
+    image_features = np.stack(image_feature_rows)
+    caption_features = np.stack(cap_feats)
+    image_classes = np.asarray(image_classes)
+    caption_classes = np.asarray(caption_classes)
+
+    # caption alignment: group captions behind their image's position
+    # (eval_coco.py:210-221)
+    sorted_idx = []
+    for c in image_classes:
+        sorted_idx.extend(np.where(caption_classes == c)[0].tolist())
+    sorted_idx = np.asarray(sorted_idx)
+    caption_features = caption_features[sorted_idx]
+    caption_classes = caption_classes[sorted_idx]
+    return image_features, caption_features, image_classes, caption_classes
+
+
+@jax.jit
+def _best_positive_ranks(q: jnp.ndarray, g: jnp.ndarray,
+                         q_cls: jnp.ndarray, g_cls: jnp.ndarray) -> jnp.ndarray:
+    """For each query: the best (smallest) rank among its positive gallery
+    items under descending similarity."""
+    sims = q @ g.T                                    # [nq, ng]
+    order = jnp.argsort(-sims, axis=1)
+    ranks = jnp.argsort(order, axis=1)                # rank of each gallery
+    pos = q_cls[:, None] == g_cls[None, :]
+    big = jnp.iinfo(jnp.int32).max
+    return jnp.min(jnp.where(pos, ranks, big), axis=1)
+
+
+def evaluate_recall(q_features, g_features, q_classes, g_classes) -> Dict[str, float]:
+    best = np.asarray(_best_positive_ranks(
+        jnp.asarray(q_features), jnp.asarray(g_features),
+        jnp.asarray(q_classes), jnp.asarray(g_classes)))
+    scores = {
+        "recall_1": float(np.mean(best < 1)),
+        "recall_5": float(np.mean(best < 5)),
+        "recall_10": float(np.mean(best < 10)),
+    }
+    scores["rsum"] = scores["recall_1"] + scores["recall_5"] + scores["recall_10"]
+    scores["medr"] = float(np.floor(np.median(best)) + 1)
+    scores["meanr"] = float(np.mean(best) + 1)
+    return scores
+
+
+def evaluate_n_fold(image_features, caption_features, image_classes,
+                    caption_classes, n_crossfolds: int = 5,
+                    n_images_per_fold: int = 1000,
+                    n_captions_per_fold: int = 5000) -> Dict[str, Dict[str, float]]:
+    folds = {"i2t": [], "t2i": []}
+    for k in range(n_crossfolds):
+        isl = slice(k * n_images_per_fold, (k + 1) * n_images_per_fold)
+        csl = slice(k * n_captions_per_fold, (k + 1) * n_captions_per_fold)
+        folds["i2t"].append(evaluate_recall(
+            image_features[isl], caption_features[csl],
+            image_classes[isl], caption_classes[csl]))
+        folds["t2i"].append(evaluate_recall(
+            caption_features[csl], image_features[isl],
+            caption_classes[csl], image_classes[isl]))
+    out = {}
+    for d in ("i2t", "t2i"):
+        keys = folds[d][0].keys()
+        out[d] = {k: float(np.mean([f[k] for f in folds[d]])) for k in keys}
+    return out
+
+
+def evaluate(cfg: MATConfig, spec: GroupSpec, params, dataset: TaskDataset,
+             batch_size: int = 512, n_crossfolds: int = 5,
+             rng: Optional[np.random.RandomState] = None) -> Dict:
+    imf, capf, imc, capc = extract_features(cfg, spec, params, dataset,
+                                            batch_size, rng)
+    scores: Dict = {}
+    if n_crossfolds > 0 and len(imf) >= n_crossfolds * 1000:
+        scores["n_fold"] = evaluate_n_fold(imf, capf, imc, capc, n_crossfolds)
+    elif n_crossfolds > 0:
+        # small datasets: fold sizes scale down proportionally
+        nipf = max(len(imf) // n_crossfolds, 1)
+        ncpf = max(len(capf) // n_crossfolds, 1)
+        scores["n_fold"] = evaluate_n_fold(imf, capf, imc, capc,
+                                           n_crossfolds, nipf, ncpf)
+    scores["i2t"] = evaluate_recall(imf, capf, imc, capc)
+    scores["t2i"] = evaluate_recall(capf, imf, capc, imc)
+    for key in ("rsum", "medr", "meanr"):
+        scores[key] = scores["i2t"][key] + scores["t2i"][key]
+    return scores

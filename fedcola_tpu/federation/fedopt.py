@@ -1,0 +1,99 @@
+"""Server-side FL optimizers: FedAvgM / FedAdam / FedYogi / FedAdagrad.
+
+The reference ships these as the ``src/algorithm/*`` family
+(fedavg.py:7-55, fedadam.py:7-62, fedyogi.py:7-63, fedadagrad.py:7-61) but
+its multimodal path never invokes them — ``_get_algorithm`` exists
+(fedavgserver.py:241-246) yet ``update()`` aggregates inline (SURVEY.md
+§2.7).  Per the rebuild plan they are supported here as *server-delta
+optimizers*: each round the plain-FedAvg aggregate defines a pseudo-gradient
+
+    delta[name] = sum_i c_i * (local_i[name] - global[name])
+
+(the reference's grad-buffer accumulation with the sign flipped back,
+fedavg.py:44-55) and the server state update follows the FedOpt family
+(Reddi et al. 2021), matching the reference's buffer recurrences:
+
+* fedavgm:   m = b1*m + (1-b1)*delta;              g += lr * m
+* fedadam:   m as above; v = b2*v + (1-b2)*delta^2; g += lr*m/(sqrt(v)+tau)
+* fedyogi:   v = v - (1-b2)*delta^2*sign(v - delta^2)
+* fedadagrad: v = v + delta^2
+
+Defaults: b1 = ``--beta1`` (server momentum flag, main.py:265), b2 = 0.99,
+tau = 1e-3, server lr = ``--lr`` (the reference's dormant classes read the
+same ``opt_kwargs``; their unset v0/tau would crash — documented quirk).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from fedcola_tpu.federation.server import FedAvgServer
+
+logger = logging.getLogger(__name__)
+
+
+@functools.partial(jax.jit, static_argnames=("flavor", "b1", "b2", "tau"))
+def _fedopt_step(global_params, agg_params, m, v, lr,
+                 flavor: str, b1: float, b2: float, tau: float):
+    def upd(g, a, m_, v_):
+        delta = a - g
+        m_new = b1 * m_ + (1 - b1) * delta
+        if flavor == "fedavgm":
+            return g + lr * m_new, m_new, v_
+        d2 = jnp.square(delta)
+        if flavor == "fedadam":
+            v_new = b2 * v_ + (1 - b2) * d2
+        elif flavor == "fedyogi":
+            v_new = v_ - (1 - b2) * d2 * jnp.sign(v_ - d2)
+        elif flavor == "fedadagrad":
+            v_new = v_ + d2
+        else:
+            raise ValueError(flavor)
+        return g + lr * m_new / (jnp.sqrt(v_new) + tau), m_new, v_new
+
+    flat_g, treedef = jax.tree_util.tree_flatten(global_params)
+    flat_a = treedef.flatten_up_to(agg_params)
+    flat_m = treedef.flatten_up_to(m)
+    flat_v = treedef.flatten_up_to(v)
+    out_g, out_m, out_v = [], [], []
+    for g, a, m_, v_ in zip(flat_g, flat_a, flat_m, flat_v):
+        ng, nm, nv = upd(g, a, m_, v_)
+        out_g.append(ng); out_m.append(nm); out_v.append(nv)
+    return (jax.tree_util.tree_unflatten(treedef, out_g),
+            jax.tree_util.tree_unflatten(treedef, out_m),
+            jax.tree_util.tree_unflatten(treedef, out_v))
+
+
+class FedOptServer(FedAvgServer):
+    def __init__(self, cfg, data, writer=None):
+        super().__init__(cfg, data, writer)
+        self.flavor = cfg.algorithm
+        self.b1 = cfg.beta1 if cfg.beta1 > 0 else 0.9
+        self.b2 = 0.99
+        self.tau = 1e-3
+        zeros = lambda tree: jax.tree_util.tree_map(jnp.zeros_like, tree)
+        self.server_m = {ds: zeros(p) for ds, p in self.global_params.items()}
+        self.server_v = {ds: zeros(p) for ds, p in self.global_params.items()}
+
+    def update(self):
+        old_globals = {ds: p for ds, p in self.global_params.items()}
+        sampled = super().update()
+        if not sampled:
+            return sampled
+        # super() set global_params to the plain aggregate; re-express it as
+        # a server-optimizer step from the old globals.
+        for ds in self.global_params:
+            new_g, m, v = _fedopt_step(
+                old_globals[ds], self.global_params[ds],
+                self.server_m[ds], self.server_v[ds],
+                jnp.float32(self.curr_lr), flavor=self.flavor,
+                b1=self.b1, b2=self.b2, tau=self.tau)
+            self.global_params[ds] = new_g
+            self.server_m[ds] = m
+            self.server_v[ds] = v
+        return sampled

@@ -1,0 +1,384 @@
+"""FedAvg server / round orchestrator (reference ``FedavgServer``,
+src/server/fedavgserver.py:117-898) — TPU re-architecture.
+
+Control flow per round (compare ``update()``, fedavgserver.py:784-856):
+
+1. sample clients (equal_sampled / warmup filtering);
+2. **batched local updates**: sampled clients grouped by dataset; one
+   vmapped+scanned program per group replaces the reference's thread pool;
+   download = on-device broadcast of the global pytree (no deepcopy), upload
+   = the trained stacked pytree staying on device;
+3. aux fold-in for uni-modal with_aux groups (fedavgclient.py:158-184);
+4. per-dataset aggregation = host-planned, device-fused weighted reduction
+   (federation/aggregate.py), optional ``--fedavg_eval`` pre-pass;
+5. FedCola aux exchange (fedavgserver.py:821-845);
+6. lr decay (``curr_lr *= lr_decay`` every ``lr_decay_step`` rounds).
+
+FedProx (src/client/fedproxclient.py) is the same machinery with the
+proximal term enabled in the loss; FedIoT is a config alias
+(shared_param=blocks, share_scope=modality_exact — the reference's fediot
+modules are missing, README.md:70 documents the rule; SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import random
+import time
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fedcola_tpu.config import (DATASET_2_MODALITY, DATASET_2_TASK,
+                                ExperimentConfig, TASK_2_CRITERION)
+from fedcola_tpu.data.loaders import FederatedData
+from fedcola_tpu.data.pipeline import GroupFeeder, Prefetcher
+from fedcola_tpu.data.sampling import sample_clients
+from fedcola_tpu.eval import retrieval
+from fedcola_tpu.federation import aggregate as agg
+from fedcola_tpu.federation.aux import exchange_aux_weights, fold_aux_into_upload
+from fedcola_tpu.models import naming
+from fedcola_tpu.models.registry import build_mat_config, create_model
+from fedcola_tpu.parallel.client_update import (GroupSpec, build_eval_forward,
+                                                build_group_update)
+from fedcola_tpu.parallel.optim import make_optimizer_spec, init_opt_state
+from fedcola_tpu.utils.metrics import MetricManager
+
+logger = logging.getLogger(__name__)
+
+
+def _broadcast_stack(params, n: int):
+    """'download': one global pytree -> a stacked [n, ...] client tree."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n,) + x.shape) + 0, params)
+
+
+class FedAvgServer:
+    def __init__(self, cfg: ExperimentConfig, data: FederatedData,
+                 writer=None):
+        self.cfg = cfg
+        self.data = data
+        self.writer = writer
+        self.round = 0
+        self.curr_lr = cfg.lr
+        self.results: Dict = defaultdict(dict)
+        self.opt_spec = make_optimizer_spec(cfg)
+        self.sampler = random.Random(cfg.seed)
+        self.shuffle_rng = np.random.RandomState(cfg.seed + 1)
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        # one global model per client dataset (fedavgserver.py:144-158)
+        self.model_cfgs = {}
+        self.global_params = {}
+        for ds in cfg.client_datasets:
+            self.key, k = jax.random.split(self.key)
+            mcfg, params = create_model(cfg.model_name, cfg, ds, k)
+            self.model_cfgs[ds] = mcfg
+            self.global_params[ds] = params
+
+        # scope table over the union of model param names
+        # (fedavgserver.py:190-238)
+        union: List[str] = []
+        for mcfg in self.model_cfgs.values():
+            for _, n in naming.param_names(mcfg):
+                if n not in union:
+                    union.append(n)
+        self.param_scope = naming.build_param_scope(
+            union, cfg.shared_param, cfg.share_scope)
+
+        # per-dataset sampling fractions (fedavgserver.py:137-142)
+        self.Cs = {ds: c for ds, c in zip(cfg.client_datasets, cfg.Cs)}
+
+        self.clients = data.client_meta
+        self.client_dataset_of = [data.client_meta[i].dataset
+                                  for i in range(data.K)]
+        self.client_modality_of = [data.client_meta[i].modality
+                                   for i in range(data.K)]
+
+    # ---------------------------------------------------------------- util --
+
+    def _group_spec(self, ds: str) -> GroupSpec:
+        modality = DATASET_2_MODALITY[ds]
+        task = DATASET_2_TASK[ds]
+        criterion = TASK_2_CRITERION["img+txt"] if modality == "img+txt" \
+            else self.cfg.criterion
+        train_ds = self.data.client_shards[
+            [i for i in range(self.data.K)
+             if self.client_dataset_of[i] == ds][0]].dataset
+        native = None
+        if train_ds.images is not None:
+            native = train_ds.images.shape[1]
+        elif train_ds.image_size:
+            native = train_ds.image_size
+        resize_to = self.model_cfgs[ds].img_size \
+            if (("img" in modality) and native
+                and native != self.model_cfgs[ds].img_size) else None
+        return GroupSpec(modality=modality, criterion=criterion,
+                         resize_to=resize_to, imnorm=self.cfg.imnorm,
+                         mu=self.cfg.mu, algorithm=self.cfg.algorithm)
+
+    def _frozen_token(self, ds: str, modality: str):
+        """Freeze-window mask (fedavgserver.py:422-429, 493-498): scope-'all'
+        params of ``freeze_modality`` clients are frozen for rounds in
+        (warmup, warmup+freeze]."""
+        c = self.cfg
+        if c.freeze_modality == "none" or modality != c.freeze_modality:
+            return None
+        in_window = (self.round <= c.freeze_rounds + c.warmup_rounds
+                     and self.round > c.warmup_rounds)
+        if not in_window:
+            return None
+        mcfg = self.model_cfgs[ds]
+        frozen = tuple(sorted({path for path, name in naming.param_names(mcfg)
+                               if self.param_scope.get(name) == "all"}))
+        return frozen or None
+
+    # ------------------------------------------------------------- training --
+
+    def _train_group(self, ds: str, ids: List[int]):
+        """One group's batched local update; returns the stacked upload tree
+        (aux already folded) and per-client average training metrics."""
+        cfg, mcfg = self.cfg, self.model_cfgs[ds]
+        spec = self._group_spec(ds)
+        n = len(ids)
+        stacked = _broadcast_stack(self.global_params[ds], n)
+        opt_state = init_opt_state(self.opt_spec, stacked)
+        opt_state["t"] = jnp.zeros((n,), jnp.int32)  # per-client step counter
+        frozen = self._frozen_token(ds, spec.modality)
+        update_fn = build_group_update(mcfg, spec, self.opt_spec, frozen)
+
+        shards = [self.data.client_shards[i] for i in ids]
+        feeder = GroupFeeder(shards, cfg.B, spec.modality,
+                             chunk_steps=cfg.train_chunk_steps,
+                             shuffle=not cfg.no_shuffle,
+                             rng=self.shuffle_rng,
+                             debug_two_batches=cfg.debug)
+        gp = self.global_params[ds]
+        loss_sums = np.zeros(n); cor = np.zeros(n); cnt = np.zeros(n)
+        for chunk in Prefetcher(feeder.round_chunks(cfg.E)):
+            self.key, k = jax.random.split(self.key)
+            rngs = jax.random.split(k, n)
+            stacked, opt_state, (ls, cs, ns) = update_fn(
+                stacked, opt_state, chunk, rngs,
+                jnp.float32(self.curr_lr), gp)
+            ns_np = np.asarray(ns, np.float64)
+            loss_sums += (np.asarray(ls, np.float64) * ns_np).sum(1)
+            cor += np.asarray(cs, np.float64).sum(1)
+            cnt += ns_np.sum(1)
+        upload = fold_aux_into_upload(mcfg, stacked)
+        metrics = {cid: {"loss": float(loss_sums[j] / max(cnt[j], 1)),
+                         "acc1": float(cor[j] / max(cnt[j], 1))}
+                   for j, cid in enumerate(ids)}
+        return upload, metrics
+
+    # --------------------------------------------------------------- round ---
+
+    def update(self) -> List[int]:
+        cfg = self.cfg
+        t0 = time.time()
+        sampled = sample_clients(
+            self.sampler, self.client_dataset_of, self.client_modality_of,
+            cfg.client_datasets, self.Cs, cfg.C, cfg.equal_sampled,
+            self.round, cfg.warmup_modality, cfg.warmup_rounds)
+        if not sampled:
+            logger.warning("round %d: no clients sampled (warmup filter)",
+                           self.round)
+            return []
+        groups: Dict[str, List[int]] = defaultdict(list)
+        for i in sampled:
+            groups[self.clients[i].dataset].append(i)
+        updated_sizes = {i: self.clients[i].n_train for i in sampled}
+
+        uploads, round_metrics = {}, {}
+        for ds, ids in groups.items():
+            uploads[ds], m = self._train_group(ds, ids)
+            round_metrics.update(m)
+        self.results[self.round]["clients_updated"] = round_metrics
+
+        group_members = {ds: ids for ds, ids in groups.items()}
+        client_cfgs = {ds: self.model_cfgs[ds] for ds in groups}
+
+        def aggregate_all(fedavg: bool):
+            new = {}
+            for i, ds in enumerate(self.global_params.keys()):
+                jobs, weights = agg.plan_aggregation(
+                    ds, self.model_cfgs[ds], client_cfgs, self.clients,
+                    sampled, updated_sizes, self.param_scope,
+                    cfg.modalities or [DATASET_2_MODALITY[d]
+                                       for d in cfg.client_datasets],
+                    group_members,
+                    out_modality_scale=cfg.out_modality_scales[i]
+                    if i < len(cfg.out_modality_scales) else 1.0,
+                    compensation=cfg.compensation,
+                    share_scope=cfg.share_scope, fedavg=fedavg,
+                    model_modality=DATASET_2_MODALITY[ds],
+                    model_task=DATASET_2_TASK[ds])
+                new[ds] = agg.apply_aggregation(
+                    jobs, weights, self.global_params[ds], uploads)
+            return new
+
+        if cfg.fedavg_eval:
+            # evaluate a plain-fedavg aggregate, then restore
+            # (fedavgserver.py:794-806)
+            old = self.global_params
+            self.global_params = aggregate_all(fedavg=True)
+            self._central_evaluate(fedavg=True)
+            self.global_params = old
+
+        self.global_params = aggregate_all(fedavg=False)
+
+        if cfg.with_aux:
+            self.global_params = exchange_aux_weights(
+                self.global_params, self.model_cfgs,
+                {ds: DATASET_2_MODALITY[ds] for ds in self.global_params})
+
+        if self.round % cfg.lr_decay_step == 0:
+            self.curr_lr *= cfg.lr_decay
+
+        dt = time.time() - t0
+        self.results[self.round]["round_seconds"] = dt
+        logger.info("[%s] [Round %04d] %d clients in %d groups, %.2fs",
+                    cfg.algorithm.upper(), self.round, len(sampled),
+                    len(groups), dt)
+        return sampled
+
+    # ---------------------------------------------------------------- eval ---
+
+    def _central_evaluate(self, fedavg: bool = False):
+        cfg = self.cfg
+        for ds, test in self.data.server_eval.items():
+            mcfg = self.model_cfgs[ds]
+            spec = self._group_spec(ds)
+            params = self.global_params[ds]
+            if DATASET_2_MODALITY[ds] == "img+txt":
+                res = retrieval.evaluate(
+                    mcfg, spec, params, test,
+                    batch_size=cfg.eval_batch_size,
+                    rng=np.random.RandomState(self.cfg.seed + self.round))
+                r1sum = 0.0
+                payload = {}
+                for split_key, prefix in (("n_fold", "1k"), (None, "5k")):
+                    block = res["n_fold"] if split_key else res
+                    for d in ("i2t", "t2i"):
+                        for m, v in block[d].items():
+                            payload[f"{ds} {prefix}_{d}_{m}"] = v
+                    r1 = block["i2t"]["recall_1"] + block["t2i"]["recall_1"]
+                    payload[f"{ds} {prefix}_r@1sum"] = r1
+                    r1sum += r1
+                payload[f"{ds} r@1sum"] = r1sum
+                self.results[self.round][f"server_evaluated_{ds}"] = payload
+                logger.info("[EVAL] [%s] r@1sum=%.4f 5k_i2t_r@1=%.4f "
+                            "5k_t2i_r@1=%.4f", ds, r1sum,
+                            res["i2t"]["recall_1"], res["t2i"]["recall_1"])
+                if self.writer:
+                    self.writer.log(payload, self.round)
+            else:
+                fwd = build_eval_forward(mcfg, spec)
+                mm = MetricManager(cfg.eval_metrics)
+                B = cfg.B
+                from fedcola_tpu.ops.losses import cross_entropy
+                n = test.n
+                for start in range(0, n, B):
+                    idx = np.arange(start, min(start + B, n))
+                    pad = B - len(idx)
+                    gidx = np.concatenate([idx, np.repeat(idx[:1], pad)]) \
+                        if pad else idx
+                    batch = {"x": (test.load_images(gidx)
+                                   if "img" in DATASET_2_MODALITY[ds]
+                                   else test.texts[gidx]),
+                             "y": test.targets[gidx].astype(np.int32)}
+                    logits = np.asarray(fwd(params, batch))[:len(idx)]
+                    y = test.targets[idx]
+                    loss = float(cross_entropy(jnp.asarray(logits),
+                                               jnp.asarray(y)))
+                    mm.track(loss, logits, y)
+                mm.aggregate(n)
+                result = mm.results
+                tag = ds + ("after" if not fedavg else "")
+                self.results[self.round][f"server_evaluated_{tag}"] = result
+                logger.info("[EVAL] [%s] loss=%.4f %s", ds, result["loss"],
+                            " ".join(f"{k}={v:.4f}"
+                                     for k, v in result["metrics"].items()))
+                if self.writer:
+                    self.writer.log(
+                        {f"Loss/Server {tag} Loss": result["loss"],
+                         **{f"Test/Server {tag} {k.title()}": v
+                            for k, v in result["metrics"].items()}},
+                        self.round)
+
+    def evaluate(self, excluded_ids=()):
+        if self.cfg.eval_type != "local":
+            self._central_evaluate()
+
+    # ------------------------------------------------------------- finalize --
+
+    def save_checkpoint(self, path: str):
+        os.makedirs(path, exist_ok=True)
+        for ds, params in self.global_params.items():
+            flat = {}
+            for p, name in naming.param_names(self.model_cfgs[ds]):
+                flat[name] = np.asarray(naming.get_by_path(params, p))
+            np.savez(os.path.join(path, f"{ds}.npz"),
+                     __round__=self.round, __lr__=self.curr_lr, **flat)
+
+    def load_checkpoint(self, path: str):
+        for ds in self.global_params:
+            f = os.path.join(path, f"{ds}.npz")
+            if not os.path.exists(f):
+                continue
+            z = np.load(f)
+            params = self.global_params[ds]
+            for p, name in naming.param_names(self.model_cfgs[ds]):
+                if name in z:
+                    naming.set_by_path(params, p, jnp.asarray(z[name]))
+            self.round = int(z["__round__"])
+            self.curr_lr = float(z["__lr__"])
+
+    def finalize(self):
+        cfg = self.cfg
+        os.makedirs(cfg.result_path, exist_ok=True)
+        with open(os.path.join(cfg.result_path, f"{cfg.exp_name}.json"),
+                  "w", encoding="utf8") as f:
+            json.dump({str(k): v for k, v in self.results.items()}, f,
+                      indent=4, default=float)
+        self.save_checkpoint(os.path.join(cfg.result_path, cfg.exp_name))
+        if self.writer:
+            self.writer.finish()
+        logger.info("[%s] finished federated learning (%d rounds)",
+                    cfg.algorithm.upper(), self.round)
+
+
+class FedProxServer(FedAvgServer):
+    """Trivial subclass: the proximal term lives in the client loss
+    (reference fedproxserver.py:10-12)."""
+
+
+class FedIoTServer(FedAvgServer):
+    """Config alias documented in README.md:70: shared_param=blocks,
+    share_scope=modality_exact on fedavg machinery (the reference's fediot
+    modules are missing — scripts would ImportError; SURVEY.md §7)."""
+
+
+SERVER_REGISTRY = {
+    "fedavg": FedAvgServer,
+    "fedprox": FedProxServer,
+    "fediot": FedIoTServer,
+    "fedsgd": FedAvgServer,
+}
+
+
+def create_server(cfg: ExperimentConfig, data: FederatedData, writer=None):
+    if cfg.algorithm in SERVER_REGISTRY:
+        return SERVER_REGISTRY[cfg.algorithm](cfg, data, writer)
+    if cfg.algorithm == "creamfl":
+        from fedcola_tpu.federation.creamfl import CreamflServer
+        return CreamflServer(cfg, data, writer)
+    if cfg.algorithm in ("fedavgm", "fedadam", "fedyogi", "fedadagrad"):
+        from fedcola_tpu.federation.fedopt import FedOptServer
+        return FedOptServer(cfg, data, writer)
+    raise ValueError(f"unknown algorithm {cfg.algorithm!r}")

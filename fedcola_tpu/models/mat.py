@@ -72,6 +72,7 @@ class MATConfig:
     aux_mlp_only: bool = False
     use_pallas: bool = True
     compute_dtype: str = "bfloat16"
+    remat: bool = True  # rematerialise block activations in the backward pass
 
     @property
     def num_patches(self) -> int:
@@ -301,10 +302,13 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
 
     if train:
         layer_rngs = jax.random.split(rng, (cfg.depth, 2))
+        # remat: store only per-layer inputs; recompute attention/MLP
+        # intermediates in the backward pass (HBM >> FLOPs trade on TPU)
+        fwd = jax.checkpoint(layer_fwd) if cfg.remat else layer_fwd
 
         def body(h, xs):
             layer, rate, ks = xs
-            return layer_fwd(h, layer, rate, ks[0], ks[1]), None
+            return fwd(h, layer, rate, ks[0], ks[1]), None
 
         out, _ = jax.lax.scan(body, x, (blk, dpr, layer_rngs))
     else:

@@ -1,0 +1,129 @@
+"""Pretrained ViT import for the image tower (reference ``pretrain_vit``,
+mome.py:788-816).
+
+The reference loads timm's ``vit_{tiny,small}_patch16_224`` checkpoint and
+remaps ``patch_embed -> embeddings.{i}.embed``, ``blocks -> blockses.{i}``,
+plus cls/pos tokens (mome.py:801-813).  Here the same remap targets the
+structured stacked pytree (torch ``[out, in]`` linear weights transpose to
+jax ``[in, out]`` kernels; per-layer tensors stack on the depth axis).
+
+Sources tried in order (offline-friendly):
+1. an explicit ``.npz``/``.pt`` path via ``FEDCOLA_PRETRAIN_<NAME>`` env or
+   ``pretrain.pt`` in cwd for the '*ours*' models (mome.py:794-799);
+2. a locally cached timm checkpoint (no network download is attempted);
+3. otherwise a warning — training proceeds from random init.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _torch_vit_to_stack(sd, cfg, slot: str, params):
+    """Remap a timm VisionTransformer state dict into our structured tree."""
+    import numpy as np
+    depth = cfg.depth
+
+    def t(x):
+        return np.asarray(x, np.float32)
+
+    emb = dict(params["emb"][slot])
+    if "patch_embed.proj.weight" in sd:
+        w = t(sd["patch_embed.proj.weight"])       # [D, C, P, P]
+        emb["patch_kernel"] = w.transpose(2, 3, 1, 0)  # [P, P, C, D]
+        emb["patch_bias"] = t(sd["patch_embed.proj.bias"])
+    if "cls_token" in sd:
+        emb["cls"] = t(sd["cls_token"])
+    if "pos_embed" in sd:
+        emb["pos"] = t(sd["pos_embed"])
+
+    blk = dict(params["blk"][slot])
+    stacks = {
+        "norm1_scale": [], "norm1_bias": [], "qkv_kernel": [], "qkv_bias": [],
+        "proj_kernel": [], "proj_bias": [], "norm2_scale": [], "norm2_bias": [],
+        "fc1_kernel": [], "fc1_bias": [], "fc2_kernel": [], "fc2_bias": [],
+    }
+    for j in range(depth):
+        p = f"blocks.{j}."
+        stacks["norm1_scale"].append(t(sd[p + "norm1.weight"]))
+        stacks["norm1_bias"].append(t(sd[p + "norm1.bias"]))
+        stacks["qkv_kernel"].append(t(sd[p + "attn.qkv.weight"]).T)
+        stacks["qkv_bias"].append(t(sd[p + "attn.qkv.bias"]))
+        stacks["proj_kernel"].append(t(sd[p + "attn.proj.weight"]).T)
+        stacks["proj_bias"].append(t(sd[p + "attn.proj.bias"]))
+        stacks["norm2_scale"].append(t(sd[p + "norm2.weight"]))
+        stacks["norm2_bias"].append(t(sd[p + "norm2.bias"]))
+        stacks["fc1_kernel"].append(t(sd[p + "mlp.fc1.weight"]).T)
+        stacks["fc1_bias"].append(t(sd[p + "mlp.fc1.bias"]))
+        stacks["fc2_kernel"].append(t(sd[p + "mlp.fc2.weight"]).T)
+        stacks["fc2_bias"].append(t(sd[p + "mlp.fc2.bias"]))
+    import jax.numpy as jnp
+    for k, v in stacks.items():
+        blk[k] = jnp.asarray(np.stack(v))
+    new = dict(params)
+    new["emb"] = dict(params["emb"]); new["emb"][slot] = emb
+    new["blk"] = dict(params["blk"]); new["blk"][slot] = blk
+
+    # after loading, aux re-initialises from the (new) main weights
+    # (build_aux wires the model's own blocks as the initial aux source,
+    # mome.py:768-786; pretrain then overwrites the main weights the aux
+    # was copied from, so re-sync keeps W_eff == W at scale 0)
+    if cfg.has_aux and "aux" in params and int(slot) == cfg.main_slot:
+        aux = dict(params["aux"])
+        for kind in cfg.aux_layer_kinds:
+            aux[f"{kind}_aux"] = blk[f"{kind}_kernel"]
+        new["aux"] = aux
+    return new
+
+
+def _find_checkpoint(src_name: str) -> Optional[str]:
+    env = os.environ.get(f"FEDCOLA_PRETRAIN_{src_name.upper()}")
+    if env and os.path.exists(env):
+        return env
+    if "ours" in src_name and os.path.exists("pretrain.pt"):
+        return "pretrain.pt"
+    for cache_root in (os.path.expanduser("~/.cache/torch/hub/checkpoints"),
+                       os.path.expanduser("~/.cache/huggingface")):
+        if os.path.isdir(cache_root):
+            for root, _, files in os.walk(cache_root):
+                for f in files:
+                    if src_name in f and (f.endswith(".pth") or f.endswith(".pt")
+                                          or f.endswith(".npz")):
+                        return os.path.join(root, f)
+    return None
+
+
+def load_pretrained_vit(cfg, params, src_name: Optional[str]):
+    """Best-effort offline pretrained import; image slot only (the reference
+    passes ['vit_small_patch16_224', None], mome.py:952)."""
+    if src_name is None:
+        return params
+    img_slot = None
+    for i, m in enumerate(cfg.modalities):
+        if m == "img":
+            img_slot = str(i)
+            break
+    if img_slot is None:
+        return params
+    path = _find_checkpoint(src_name)
+    if path is None:
+        logger.warning(
+            "pretrained checkpoint %s not found locally; proceeding from "
+            "random init (no network downloads are attempted)", src_name)
+        return params
+    if path.endswith(".npz"):
+        sd = dict(np.load(path))
+    else:
+        import torch
+        sd = torch.load(path, map_location="cpu")
+        if isinstance(sd, dict) and "model" in sd:
+            sd = sd["model"]
+        sd = {k: v.numpy() for k, v in sd.items()}
+    logger.info("loading pretrained %s from %s", src_name, path)
+    return _torch_vit_to_stack(sd, cfg, img_slot, params)

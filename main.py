@@ -1,0 +1,87 @@
+"""CLI round driver — flag-compatible with the reference's ``main.py``
+(reference main.py:17-53, 59-284): same flags, same round recipe
+(R rounds of ``server.update()`` + ``server.evaluate`` every
+``eval_every``), so the reference's ``scripts/coco.sh`` / ``scripts/
+flickr.sh`` invocations run unmodified on this framework.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+
+class WandbWriter:
+    """wandb-backed metrics writer (reference main.py:305, writer.log calls
+    throughout fedavgserver.py).  Falls back to a JSONL file when wandb is
+    unavailable or offline."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self._wandb = None
+        if cfg.wandb:
+            try:
+                import wandb
+                self._wandb = wandb
+                wandb.init(project="fedcola_tpu", name=cfg.exp_name,
+                           config=vars(cfg) if not hasattr(cfg, "to_json")
+                           else None)
+            except Exception:
+                self._wandb = None
+        os.makedirs(cfg.result_path, exist_ok=True)
+        self._jsonl = open(os.path.join(cfg.result_path,
+                                        f"{cfg.exp_name}_metrics.jsonl"), "a")
+
+    def log(self, payload, step):
+        import json
+        self._jsonl.write(json.dumps({"round": step, **{
+            k: float(v) for k, v in payload.items()}}) + "\n")
+        self._jsonl.flush()
+        if self._wandb:
+            self._wandb.log(payload, step=step)
+
+    def finish(self):
+        self._jsonl.close()
+        if self._wandb:
+            self._wandb.finish()
+
+
+def main(argv=None):
+    from fedcola_tpu.config import parse_args
+    from fedcola_tpu.data.loaders import load_federated_data
+    from fedcola_tpu.federation.server import create_server
+    from fedcola_tpu.utils import set_logger, set_seed
+
+    cfg = parse_args(argv)
+    os.makedirs(cfg.log_path, exist_ok=True)
+    logger = set_logger(os.path.join(
+        cfg.log_path, f"{cfg.exp_name}_{time.strftime('%y%m%d_%H%M%S')}.log"))
+    logger.info("fedcola_tpu starting: %s", " ".join(sys.argv[1:]))
+    set_seed(cfg.seed)
+
+    data = load_federated_data(cfg, np.random.RandomState(cfg.seed))
+    writer = WandbWriter(cfg)
+    server = create_server(cfg, data, writer)
+
+    ckpt_dir = os.path.join(cfg.result_path, cfg.exp_name, "ckpt")
+    if os.path.isdir(ckpt_dir):
+        server.load_checkpoint(ckpt_dir)
+        logger.info("resumed from checkpoint at round %d", server.round)
+
+    start = server.round + 1
+    for r in range(start, cfg.R + 1):
+        server.round = r
+        server.update()
+        if (r % cfg.eval_every == 0) or (r == cfg.R):
+            server.evaluate([])
+        if cfg.checkpoint_every and r % cfg.checkpoint_every == 0:
+            server.save_checkpoint(ckpt_dir)
+    server.finalize()
+
+
+if __name__ == "__main__":
+    main()

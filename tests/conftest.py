@@ -8,9 +8,20 @@ torch, and multi-device integration tests on jax's CPU device emulation.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend: the image's sitecustomize registers the axon TPU
+# plugin whenever PALLAS_AXON_POOL_IPS is set, which would route every test
+# compile through the real-chip tunnel.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The sitecustomize may already have registered (and selected) the axon TPU
+# plugin before this file runs; force the selection back to CPU.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()

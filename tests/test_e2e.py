@@ -1,0 +1,81 @@
+"""End-to-end integration: a 2-round toy federation on CPU.
+
+Mirrors SURVEY.md §7 build step 4 (minimum slice: text-only fedavg) and
+step 5 (mixed img/txt/mm populations with FedCola sharing rules).
+"""
+
+import numpy as np
+import pytest
+
+from fedcola_tpu.config import ExperimentConfig, check_args
+from fedcola_tpu.data.loaders import load_federated_data
+from fedcola_tpu.federation.server import create_server
+
+
+def make_cfg(**kw):
+    base = dict(
+        exp_name="test", seed=7, multi_task=True,
+        datasets=["MedicalAbstracts", "MedicalAbstracts"],
+        modalities=["txt", "txt"],
+        Ks=[4], Cs=[0.5], K=4, R=2, E=1, B=16,
+        eval_batch_size=32, optimizer="AdamW", lr=1e-3,
+        criterion="CrossEntropyLoss", eval_type="global",
+        model_name="mome_test_patch16_32", seq_len=12,
+        split_type="iid", synthetic_data=True, use_pallas=False,
+        compute_dtype="float32", equal_sampled=True,
+        train_chunk_steps=4, resize=32, vocab_size=120,
+    )
+    base.update(kw)
+    return check_args(ExperimentConfig(**base))
+
+
+def run_rounds(cfg, rounds=2):
+    rng = np.random.RandomState(cfg.seed)
+    data = load_federated_data(cfg, rng)
+    server = create_server(cfg, data)
+    for r in range(1, rounds + 1):
+        server.round = r
+        sampled = server.update()
+        assert sampled, "no clients sampled"
+    server.evaluate([])
+    return server
+
+
+def test_text_only_fedavg():
+    """Build step 4: text-only MedicalAbstracts clients, tiny MAT."""
+    cfg = make_cfg()
+    server = run_rounds(cfg)
+    key = "server_evaluated_MedicalAbstractsafter"
+    res = server.results[2][key]
+    assert np.isfinite(res["loss"])
+    assert 0.0 <= res["metrics"]["acc1"] <= 1.0
+
+
+def test_mixed_population_fedcola():
+    """Build step 5-6: img + txt + mm clients, FedCola sharing
+    (shared_param=attn, share_scope=modality, compensation, aux)."""
+    cfg = make_cfg(
+        datasets=["CIFAR100", "AG_NEWS", "Coco", "Coco"],
+        modalities=["img", "txt", "img+txt", "img+txt"],
+        Ks=[2, 2, 2], Cs=[0.5, 0.5, 0.5],
+        shared_param="attn", share_scope="modality",
+        compensation=True, with_aux=True, aux_trained=True,
+        split_type="diri", cncntrtn=0.5, B=8,
+    )
+    server = run_rounds(cfg)
+    # aggregation ran for all three global models
+    assert set(server.global_params) == {"CIFAR100", "AG_NEWS", "Coco"}
+    # aux exchange happened: img model's aux == txt model's blk kernels
+    img_aux = server.global_params["CIFAR100"]["aux"]["qkv_aux"]
+    txt_blk = server.global_params["AG_NEWS"]["blk"]["1"]["qkv_kernel"]
+    np.testing.assert_allclose(np.asarray(img_aux), np.asarray(txt_blk))
+    # retrieval eval produced recalls
+    ev = server.results[2]["server_evaluated_Coco"]
+    assert any("r@1sum" in k for k in ev)
+
+
+def test_fedprox_and_fedopt_run():
+    cfg = make_cfg(algorithm="fedprox", mu=0.01)
+    run_rounds(cfg, rounds=1)
+    cfg = make_cfg(algorithm="fedadam", beta1=0.9)
+    run_rounds(cfg, rounds=1)

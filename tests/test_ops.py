@@ -1,0 +1,144 @@
+"""Op-level numerics: flash attention vs XLA reference, losses vs torch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fedcola_tpu.ops.attention import _attention_xla
+from fedcola_tpu.ops import losses
+
+
+def test_flash_attention_matches_xla_fwd_bwd():
+    from fedcola_tpu.ops.flash_attention import flash_attention
+    B, H, N, hd = 2, 2, 24, 16
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(k1, (B, H, N, hd))
+    k = jax.random.normal(k2, (B, H, N, hd))
+    v = jax.random.normal(k3, (B, H, N, hd))
+    scale = hd ** -0.5
+
+    o_ref = _attention_xla(q, k, v, scale)
+    o = flash_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    do = jax.random.normal(k4, (B, H, N, hd))
+    gref = jax.grad(lambda q_, k_, v_: jnp.sum(
+        _attention_xla(q_, k_, v_, scale) * do), argnums=(0, 1, 2))(q, k, v)
+    gfa = jax.grad(lambda q_, k_, v_: jnp.sum(
+        flash_attention(q_, k_, v_, scale) * do), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gfa, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_cross_entropy_matches_torch():
+    import torch
+    logits = np.random.RandomState(0).randn(16, 7).astype(np.float32)
+    y = np.random.RandomState(1).randint(0, 7, 16)
+    ours = float(losses.cross_entropy(jnp.asarray(logits), jnp.asarray(y)))
+    ref = float(torch.nn.CrossEntropyLoss()(torch.tensor(logits),
+                                            torch.tensor(y)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_clip_contrastive_matches_manual():
+    """Fixed temperature 1/0.07 (per-batch re-instantiation, SURVEY/§2.4)."""
+    import torch
+    rng = np.random.RandomState(0)
+    a = rng.randn(8, 16).astype(np.float32)
+    b = rng.randn(8, 16).astype(np.float32)
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
+    b /= np.linalg.norm(b, axis=1, keepdims=True)
+    ours = float(losses.clip_contrastive(jnp.asarray(a), jnp.asarray(b)))
+    logits = torch.tensor(a @ b.T) * float(np.exp(np.log(1 / 0.07)))
+    labels = torch.arange(8)
+    ref = 0.5 * (torch.nn.functional.cross_entropy(logits, labels)
+                 + torch.nn.functional.cross_entropy(logits.t(), labels))
+    np.testing.assert_allclose(ours, float(ref), rtol=1e-5)
+
+
+def test_contrastive_masked_rows():
+    rng = np.random.RandomState(0)
+    a = rng.randn(8, 16).astype(np.float32)
+    b = rng.randn(8, 16).astype(np.float32)
+    valid = np.array([True] * 6 + [False] * 2)
+    full = float(losses.clip_contrastive(jnp.asarray(a[:6]), jnp.asarray(b[:6])))
+    masked = float(losses.clip_contrastive(jnp.asarray(a), jnp.asarray(b),
+                                           jnp.asarray(valid)))
+    np.testing.assert_allclose(masked, full, rtol=1e-5)
+
+
+def test_optimizer_matches_torch_adamw():
+    import torch
+    from fedcola_tpu.parallel.optim import (OptimizerSpec, init_opt_state,
+                                            opt_update)
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(5, 4).astype(np.float32)
+    spec = OptimizerSpec(name="AdamW", weight_decay=0.01)
+
+    tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+    topt = torch.optim.AdamW([tw], lr=1e-3, weight_decay=0.01)
+    params = {"w": jnp.asarray(w0)}
+    state = init_opt_state(spec, params)
+    for step in range(3):
+        g = rng.randn(5, 4).astype(np.float32)
+        topt.zero_grad()
+        tw.grad = torch.tensor(g)
+        topt.step()
+        params, state = opt_update(spec, params, {"w": jnp.asarray(g)},
+                                   state, 1e-3)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-7)
+
+
+def test_optimizer_matches_torch_sgd_momentum():
+    import torch
+    from fedcola_tpu.parallel.optim import (OptimizerSpec, init_opt_state,
+                                            opt_update)
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(6).astype(np.float32)
+    spec = OptimizerSpec(name="SGD", momentum=0.9, weight_decay=0.001)
+    tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+    topt = torch.optim.SGD([tw], lr=0.1, momentum=0.9, weight_decay=0.001)
+    params = {"w": jnp.asarray(w0)}
+    state = init_opt_state(spec, params)
+    for step in range(3):
+        g = rng.randn(6).astype(np.float32)
+        topt.zero_grad()
+        tw.grad = torch.tensor(g)
+        topt.step()
+        params, state = opt_update(spec, params, {"w": jnp.asarray(g)},
+                                   state, 0.1)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-7)
+
+
+def test_step_valid_mask_is_exact_noop():
+    from fedcola_tpu.parallel.optim import (OptimizerSpec, init_opt_state,
+                                            opt_update)
+    spec = OptimizerSpec(name="AdamW")
+    params = {"w": jnp.ones((3,))}
+    state = init_opt_state(spec, params)
+    g = {"w": jnp.ones((3,))}
+    p2, s2 = opt_update(spec, params, g, state, 1e-2,
+                        step_valid=jnp.asarray(False))
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.ones(3))
+    assert int(s2["t"]) == 0
+
+
+def test_grad_clip_matches_torch():
+    import torch
+    from fedcola_tpu.parallel.optim import clip_global_norm
+    rng = np.random.RandomState(3)
+    g1 = rng.randn(4, 3).astype(np.float32) * 10
+    g2 = rng.randn(5).astype(np.float32) * 10
+    t1 = torch.nn.Parameter(torch.zeros(4, 3)); t1.grad = torch.tensor(g1)
+    t2 = torch.nn.Parameter(torch.zeros(5)); t2.grad = torch.tensor(g2)
+    torch.nn.utils.clip_grad_norm_([t1, t2], 1.0)
+    ours = clip_global_norm({"a": jnp.asarray(g1), "b": jnp.asarray(g2)}, 1.0)
+    np.testing.assert_allclose(np.asarray(ours["a"]), t1.grad.numpy(),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours["b"]), t2.grad.numpy(),
+                               rtol=1e-4)
