@@ -88,7 +88,27 @@ def load_federated_data(cfg: ExperimentConfig,
             caption_grouped=(ds in ("Flickr30k", "Coco")))
         for k in range(K_d):
             idx = np.asarray(split[k], np.int64)
-            out.client_shards.append(ClientShard(dataset=train, indices=idx))
+            test_idx = None
+            if cfg.test_size > 0:
+                # stratified per-client holdout (reference stratified_split,
+                # src/utils.py:168-179; random split for retrieval where
+                # num_classes is None, data.py:146-149)
+                if task == "cls" and train.targets is not None:
+                    tr_parts, te_parts = [], []
+                    for c in np.unique(train.targets[idx]):
+                        cls_idx = split_rng.permutation(
+                            idx[train.targets[idx] == c])
+                        n_te = int(len(cls_idx) * cfg.test_size)
+                        te_parts.append(cls_idx[:n_te])
+                        tr_parts.append(cls_idx[n_te:])
+                    test_idx = np.concatenate(te_parts)
+                    idx = np.concatenate(tr_parts)
+                else:
+                    n_te = int(len(idx) * cfg.test_size)
+                    perm = split_rng.permutation(idx)
+                    test_idx, idx = perm[:n_te], perm[n_te:]
+            out.client_shards.append(ClientShard(dataset=train, indices=idx,
+                                                 test_indices=test_idx))
             out.client_meta[cid] = ClientMeta(
                 id=cid, dataset=ds, modality=modality, task=task,
                 n_train=len(idx))

@@ -30,9 +30,13 @@ from fedcola_tpu.data.datasets import TaskDataset
 
 @dataclass
 class ClientShard:
-    """A client's training view: dataset + its index map."""
+    """A client's training view: dataset + its index map.  ``test_indices``
+    is the local holdout (``--test_size`` > 0; reference
+    data.py:137-156/stratified_split) — None when the pre-defined global
+    test split is used (test_size == -1, the scripts' setting)."""
     dataset: TaskDataset
     indices: np.ndarray
+    test_indices: Optional[np.ndarray] = None
 
     @property
     def n(self) -> int:

@@ -98,9 +98,13 @@ def compute_coefficients(
     compensation: bool = False,
     share_scope: str = "dataset",
     fedavg: bool = False,
+    creamfl: bool = False,
 ) -> Dict[str, Dict[int, float]]:
     """Per-parameter-name, per-client mixing coefficients
-    (fedavgserver.py:599-653)."""
+    (fedavgserver.py:599-653; ``creamfl=True`` follows CreamFL's variant,
+    creamflserver.py:259-279: exact-equality 'modality' scope, no
+    modality_exact / out-modality scaling, compensation divides by the
+    unfiltered total)."""
     coefficients: Dict[str, Dict[int, float]] = {}
     # loop-variable leak (fedavgserver.py:648): `identifier` holds the last
     # iterated updated_sizes key after each name's inner loop.
@@ -129,6 +133,19 @@ def compute_coefficients(
                                          param_modality)
                 new_num[cid] = n
                 continue
+            if creamfl:
+                # CreamFL variant (creamflserver.py:264-275): exact-equality
+                # 'modality', no modality_exact, no out-modality scaling
+                if scope == "modality":
+                    n = size if c.modality == model_modality else 0.0
+                elif scope == "modality_exact":
+                    n = 0.0
+                else:
+                    n = _scope_numerator(scope, c, size, model_dataset,
+                                         model_modality, model_task,
+                                         param_modality)
+                new_num[cid] = n
+                continue
             n = _scope_numerator(scope, c, size, model_dataset, model_modality,
                                  model_task, param_modality)
             # out-of-modality rescaling (fedavgserver.py:634-638)
@@ -138,7 +155,13 @@ def compute_coefficients(
                 old_sum += n
             new_num[cid] = n
 
-        if fedavg or not compensation:
+        if creamfl:
+            # creamflserver.py:276-279: compensation divides by the
+            # unfiltered total, else by the filtered sum
+            denom = old_sum if compensation else sum(new_num.values())
+            coefficients[name] = {cid: (v / denom if denom != 0 else 0.0)
+                                  for cid, v in new_num.items()}
+        elif fedavg or not compensation:
             denom = sum(new_num.values())
             coefficients[name] = {cid: (v / denom if denom != 0 else 0.0)
                                   for cid, v in new_num.items()}
@@ -219,6 +242,8 @@ def plan_aggregation(
     compensation: bool = False,
     share_scope: str = "dataset",
     fedavg: bool = False,
+    creamfl: bool = False,
+    zero_init: bool = False,
     model_modality: str = None,
     model_task: str = None,
 ):
@@ -235,7 +260,7 @@ def plan_aggregation(
         model_dataset, model_modality, model_task, required_names,
         param_scope, clients, sorted_ids, updated_sizes,
         experiment_modalities, out_modality_scale, compensation,
-        share_scope, fedavg)
+        share_scope, fedavg, creamfl)
 
     # per client-dataset: the name -> path map of its upload
     upload_maps: Dict[str, Dict[str, Tuple[str, ...]]] = {}
@@ -255,7 +280,13 @@ def plan_aggregation(
             if name not in upload_maps[ds]:
                 continue  # "skip but count" (fedavgserver.py:660-663)
             contribs.append((cid, c[cid]))
-        res, w = streaming_closed_form(1.0, contribs)
+        if zero_init:
+            # CreamFL zero-initialises and takes a plain weighted sum
+            # (creamflserver.py:256-289): weights are the raw coefficients,
+            # no residual global mass
+            res, w = 0.0, [cj for _, cj in contribs]
+        else:
+            res, w = streaming_closed_form(1.0, contribs)
 
         group_paths: Dict[str, Tuple[str, ...]] = {}
         group_vecs: Dict[str, np.ndarray] = {}

@@ -311,7 +311,106 @@ class FedAvgServer:
                             for k, v in result["metrics"].items()}},
                         self.round)
 
+    @staticmethod
+    def summarize_losses(losses, num_samples):
+        """Weighted avg/std + top/bottom-10% cohort stats of per-client
+        losses (exact port of the summary math, fedavgserver.py:362-379)."""
+        la = np.asarray(losses, float)
+        ns = np.asarray(num_samples, float)
+        weighted = la.dot(ns) / ns.sum()
+        std = la.std()
+        k = int(0.1 * len(la))
+        if len(la) > 1 and k >= 1:
+            top_i = np.argpartition(la, -k)[-k:]
+            bot_i = np.argpartition(la, max(1, k - 1))[:max(1, k)]
+        else:
+            top_i = bot_i = np.arange(len(la))
+        top = la[top_i]; bot = la[bot_i]
+        return {
+            "avg": float(weighted), "std": float(std),
+            "top10p_avg": float(top.dot(ns[top_i]) / ns[top_i].sum()),
+            "top10p_std": float(top.std()),
+            "bottom10p_avg": float(bot.dot(ns[bot_i]) / ns[bot_i].sum()),
+            "bottom10p_std": float(bot.std()),
+        }
+
+    def _local_evaluate(self, ids, participated: bool):
+        """Per-client evaluation of the global models on local holdout sets.
+
+        The reference's client-eval call is broken for MAT
+        (``self.model(inputs, task=...)``, fedavgclient.py:140 — wrong
+        signature; scripts run eval_type=global).  This implements the
+        intended semantics: each client evaluates its downloaded global
+        model on its local test split; per-task metrics follow
+        ``_create_clients`` (acc1 for cls, f1 otherwise,
+        fedavgserver.py:252)."""
+        from fedcola_tpu.ops.losses import clip_contrastive, cross_entropy
+        losses, sizes, per_client = [], [], {}
+        for i in ids:
+            shard = self.data.client_shards[i]
+            if shard.test_indices is None or len(shard.test_indices) == 0:
+                continue
+            ds = self.clients[i].dataset
+            mcfg = self.model_cfgs[ds]
+            spec = self._group_spec(ds)
+            fwd = build_eval_forward(mcfg, spec)
+            params = self.global_params[ds]
+            metrics = ["acc1"] if self.clients[i].task == "cls" else ["f1"]
+            mm = MetricManager(metrics if spec.modality != "img+txt" else [])
+            B = self.cfg.B
+            tidx = shard.test_indices
+            for s in range(0, len(tidx), B):
+                sel = tidx[s:s + B]
+                pad = B - len(sel)
+                gsel = np.concatenate([sel, np.repeat(sel[:1], pad)]) \
+                    if pad else sel
+                d = shard.dataset
+                if spec.modality == "img+txt":
+                    batch = {"x": d.load_images(gsel), "y": d.texts[gsel]}
+                    fi, ft = fwd(params, batch)
+                    loss = float(clip_contrastive(fi[:len(sel)],
+                                                  ft[:len(sel)]))
+                    mm.track(loss, count=len(sel))
+                else:
+                    batch = {"x": (d.load_images(gsel)
+                                   if spec.modality == "img"
+                                   else d.texts[gsel]),
+                             "y": d.targets[gsel].astype(np.int32)}
+                    logits = np.asarray(fwd(params, batch))[:len(sel)]
+                    y = d.targets[sel]
+                    loss = float(cross_entropy(jnp.asarray(logits),
+                                               jnp.asarray(y)))
+                    mm.track(loss, logits, y)
+            mm.aggregate(len(tidx))
+            per_client[i] = mm.results
+            losses.append(mm.results["loss"])
+            sizes.append(len(tidx))
+        if not losses:
+            return
+        summary = {"loss": self.summarize_losses(losses, sizes)}
+        key = f'clients_evaluated_{"in" if participated else "out"}'
+        self.results[self.round][key] = summary
+        logger.info("[EVAL] [LOCAL] %d clients | loss avg %.4f std %.4f "
+                    "top10%% %.4f bot10%% %.4f", len(losses),
+                    summary["loss"]["avg"], summary["loss"]["std"],
+                    summary["loss"]["top10p_avg"],
+                    summary["loss"]["bottom10p_avg"])
+        if self.writer:
+            tag = "In" if participated else "Out"
+            self.writer.log({f"Local Test Loss ({tag})/Avg.":
+                             summary["loss"]["avg"],
+                             f"Local Test Loss ({tag})/Std.":
+                             summary["loss"]["std"]}, self.round)
+
     def evaluate(self, excluded_ids=()):
+        if self.cfg.eval_type != "global":
+            ids = sample_clients(
+                self.sampler, self.client_dataset_of,
+                self.client_modality_of, self.cfg.client_datasets, self.Cs,
+                self.cfg.C, self.cfg.equal_sampled, self.round,
+                exclude=list(excluded_ids),
+                eval_fraction=self.cfg.eval_fraction, eval_mode=True)
+            self._local_evaluate(ids, participated=bool(excluded_ids))
         if self.cfg.eval_type != "local":
             self._central_evaluate()
 

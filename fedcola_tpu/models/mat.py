@@ -260,7 +260,8 @@ def _drop_path(x, rate, rng, train: bool):
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
-    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+    inv = (1.0 / keep).astype(x.dtype)
+    return jnp.where(mask, x * inv, jnp.zeros_like(x))
 
 
 def _effective_kernels(cfg: MATConfig, params: Params, slot: str) -> Params:

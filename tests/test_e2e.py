@@ -74,6 +74,25 @@ def test_mixed_population_fedcola():
     assert any("r@1sum" in k for k in ev)
 
 
+def test_creamfl_runs():
+    """CreamFL: public-set phases + contrastive-weighted feature aggregation
+    + zero-init mm aggregate + server distillation."""
+    cfg = make_cfg(
+        algorithm="creamfl",
+        datasets=["CIFAR100", "AG_NEWS", "Coco", "Coco"],
+        modalities=["img", "txt", "img+txt", "img+txt"],
+        Ks=[2, 2, 2], Cs=[1.0, 1.0, 1.0],
+        num_pub_samples=20, pub_batch_size=8, kd_weight=1e-3,
+        interintra_weight=1.0, B=8, split_type="diri", cncntrtn=0.5,
+    )
+    server = run_rounds(cfg, rounds=1)
+    assert server.g_img is not None and server.g_img.shape[0] == 20
+    leaves = [np.asarray(x) for x in
+              __import__("jax").tree_util.tree_leaves(
+                  server.global_params["Coco"])]
+    assert all(np.isfinite(l).all() for l in leaves)
+
+
 def test_fedprox_and_fedopt_run():
     cfg = make_cfg(algorithm="fedprox", mu=0.01)
     run_rounds(cfg, rounds=1)

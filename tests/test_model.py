@@ -104,6 +104,19 @@ def test_train_forward_stochastic_depth():
     np.testing.assert_allclose(e1, e2)
 
 
+def test_bf16_train_forward_keeps_dtype():
+    """bf16 compute path must not promote the scan carry to f32 (droppath
+    scaling regression)."""
+    cfg = TOY.replace(compute_dtype="bfloat16", drop_path_rate=0.1)
+    params = init_mat(cfg, jax.random.PRNGKey(0))
+    img = jnp.zeros((2, 32, 32, 3))
+    txt = jnp.zeros((2, 12), jnp.int32)
+    outs = mat_apply(cfg, params, [img, txt], feat_out=True, train=True,
+                     rng=jax.random.PRNGKey(1))
+    assert outs[0].dtype == jnp.float32  # features normalised in f32
+    assert np.isfinite(np.asarray(outs[0])).all()
+
+
 def test_param_counts_vit_small_shape():
     """ViT-small stack (embed 384, depth 12) ~21.6M params per modality
     stack + embeddings, sanity bound."""
