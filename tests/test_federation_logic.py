@@ -1,0 +1,107 @@
+"""Host-side federation logic: sampling, warmup filtering, scope tables,
+freeze masks, checkpoint roundtrip, config parsing."""
+
+import random
+
+import numpy as np
+import pytest
+
+from fedcola_tpu.config import ExperimentConfig, check_args, parse_args
+from fedcola_tpu.data.sampling import sample_clients
+from fedcola_tpu.models import naming
+from fedcola_tpu.models.mat import MATConfig
+
+
+def test_equal_sampled_per_dataset():
+    rng = random.Random(0)
+    ds_of = ["A"] * 8 + ["B"] * 4
+    mod_of = ["img"] * 8 + ["txt"] * 4
+    ids = sample_clients(rng, ds_of, mod_of, ["A", "B"],
+                         {"A": 0.25, "B": 0.5}, 0.1, True, round_idx=10)
+    assert len([i for i in ids if i < 8]) == 2     # 0.25 * 8
+    assert len([i for i in ids if i >= 8]) == 2    # 0.5 * 4
+    assert ids == sorted(ids)
+
+
+def test_warmup_filters_modalities():
+    rng = random.Random(0)
+    ds_of = ["A"] * 4 + ["B"] * 4
+    mod_of = ["img"] * 4 + ["txt"] * 4
+    ids = sample_clients(rng, ds_of, mod_of, ["A", "B"], {"A": 1.0, "B": 1.0},
+                         1.0, True, round_idx=3, warmup_modality="img",
+                         warmup_rounds=5)
+    assert all(mod_of[i] == "img" for i in ids)
+    ids = sample_clients(random.Random(0), ds_of, mod_of, ["A", "B"],
+                         {"A": 1.0, "B": 1.0}, 1.0, True, round_idx=6,
+                         warmup_modality="img", warmup_rounds=5)
+    assert any(mod_of[i] == "txt" for i in ids)
+
+
+def test_scope_table_precedence():
+    """The substring-precedence quirks (fedavgserver.py:94-104):
+    block-mlp params classify as 'blocks', so shared_param='mlp' shares
+    nothing for MAT; attn-in-block classifies as 'attn'."""
+    names = ["blockses.0.*.attn.qkv.weight", "blockses.0.*.mlp.fc1.weight",
+             "blockses.0.*.norm1.weight", "embeddings.0.embed.proj.weight",
+             "norm.weight", "heads.0.head.weight"]
+    s = naming.build_param_scope(names, "attn", "modality")
+    assert s["blockses.0.*.attn.qkv.weight"] == "modality"
+    assert s["blockses.0.*.mlp.fc1.weight"] == "dataset"
+    s = naming.build_param_scope(names, "blocks", "modality_exact")
+    assert s["blockses.0.*.mlp.fc1.weight"] == "modality_exact"
+    assert s["blockses.0.*.norm1.weight"] == "modality_exact"
+    assert s["blockses.0.*.attn.qkv.weight"] == "dataset"
+    s = naming.build_param_scope(names, "mlp", "all")
+    assert all(v == "dataset" for v in s.values())
+
+
+def test_get_name_modality():
+    mods = ["img", "txt", "img+txt", "img+txt"]
+    assert naming.get_name_modality("blockses.0.*.attn.qkv.weight", mods) == "img"
+    assert naming.get_name_modality("blockses.1.*.mlp.fc1.weight", mods) == "txt"
+    assert naming.get_name_modality("norm.weight", mods) is None
+
+
+def test_check_args_broadcasts():
+    cfg = ExperimentConfig(multi_task=True,
+                           datasets=["A", "B", "C", "C"],
+                           Ks=[4], Cs=[0.25],
+                           optimizer="AdamW", out_modality_scales=[1.0])
+    cfg = check_args(cfg)
+    assert cfg.Ks == [4, 4, 4] and cfg.K == 12
+    assert len(cfg.Cs) == 3 and len(cfg.out_modality_scales) == 3
+
+
+def test_parse_args_reference_flags():
+    cfg = parse_args([
+        "--exp_name", "t", "--multi-task",
+        "--datasets", "CIFAR100", "AG_NEWS", "Coco", "Coco",
+        "--modalities", "img", "txt", "img+txt", "img+txt",
+        "--Ks", "12", "12", "8", "--Cs", "0.25",
+        "--shared_param", "attn", "--share_scope", "modality",
+        "--compensation", "--with_aux", "--aux_trained",
+        "--model_name", "mome_small_patch16", "--resize", "224", "--imnorm",
+        "--algorithm", "fedavg", "--eval_type", "global",
+        "--R", "30", "--E", "5", "--B", "96", "--beta1", "0",
+        "--optimizer", "AdamW", "--lr", "1e-4", "--lr_decay", "0.99",
+        "--lr_decay_step", "1", "--criterion", "CrossEntropyLoss",
+        "--use_bert_tokenizer", "--pretrained", "--equal_sampled",
+        "--eval_batch_size", "512",
+        "--out_modality_scales", "[0.5]",
+    ])
+    assert cfg.K == 32 and cfg.with_aux and cfg.compensation
+    assert cfg.out_modality_scales == [0.5, 0.5, 0.5]
+    assert cfg.Cs == [0.25, 0.25, 0.25]
+
+
+def test_upload_vs_required_names():
+    cfg = MATConfig(modalities=("img", None), tasks=("cls", None),
+                    num_classes=(10, None), embed_dim=8, depth=2,
+                    num_heads=2, img_size=32, with_aux=True,
+                    use_pallas=False)
+    req = {n for _, n in naming.required_param_names(cfg)}
+    assert not any("aux" in n or "cross_modal_scale" in n for n in req)
+    assert not any("blockses.1" in n for n in req)
+    aux = naming.aux_param_names(cfg)
+    assert all("aux_weight" in n for _, n in aux)
+    assert len(aux) == 4  # qkv, proj, fc1, fc2
