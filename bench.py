@@ -38,17 +38,20 @@ def _time_chunks(update_fn, stacked, opt_state, chunks, rngs, lr, gp):
     before the clock starts (the production feeder overlaps staging with
     compute via its prefetch thread)."""
     import jax
+    import numpy as np
     chunks = [jax.device_put(c) for c in chunks]
     jax.block_until_ready(chunks)
-    # warmup/compile
-    stacked, opt_state, _ = update_fn(stacked, opt_state, chunks[0], rngs,
-                                      lr, gp)
-    jax.block_until_ready(stacked)
+    # warmup/compile; the scalar host readback forces true synchronization
+    # (the axon relay's buffer-ready events are optimistic, so
+    # block_until_ready alone under-measures)
+    stacked, opt_state, out = update_fn(stacked, opt_state, chunks[0], rngs,
+                                        lr, gp)
+    np.asarray(out[0])
     t0 = time.perf_counter()
     for ch in chunks[1:]:
         stacked, opt_state, out = update_fn(stacked, opt_state, ch, rngs,
                                             lr, gp)
-    jax.block_until_ready(stacked)
+    np.asarray(out[0])
     return time.perf_counter() - t0
 
 

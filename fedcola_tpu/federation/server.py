@@ -100,6 +100,18 @@ class FedAvgServer:
         self.client_modality_of = [data.client_meta[i].modality
                                    for i in range(data.K)]
 
+        # device mesh over the client axis (SURVEY.md §2.8 P1/P4: replaces
+        # the reference's thread pool + round-robin CUDA placement).  With
+        # one device this is a no-op; on a v5e-8 each group's client stack
+        # shards over ICI.
+        devs = jax.devices()
+        n_dev = int(np.prod(cfg.mesh_shape)) if cfg.mesh_shape else len(devs)
+        if n_dev > 1:
+            from jax.sharding import Mesh
+            self.mesh = Mesh(np.array(devs[:n_dev]), ("clients",))
+        else:
+            self.mesh = None
+
     # ---------------------------------------------------------------- util --
 
     def _group_spec(self, ds: str) -> GroupSpec:
@@ -140,15 +152,31 @@ class FedAvgServer:
 
     # ------------------------------------------------------------- training --
 
+    def _pad_to_mesh(self, n: int) -> int:
+        """Stacked client axes must divide the mesh's client axis."""
+        if self.mesh is None:
+            return n
+        m = self.mesh.shape["clients"]
+        return ((n + m - 1) // m) * m
+
+    def _shard_clients(self, tree):
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(tree, NamedSharding(self.mesh, P("clients")))
+
     def _train_group(self, ds: str, ids: List[int]):
         """One group's batched local update; returns the stacked upload tree
-        (aux already folded) and per-client average training metrics."""
+        (aux already folded, leading axis possibly mesh-padded) and
+        per-client average training metrics."""
         cfg, mcfg = self.cfg, self.model_cfgs[ds]
         spec = self._group_spec(ds)
         n = len(ids)
-        stacked = _broadcast_stack(self.global_params[ds], n)
+        n_pad = self._pad_to_mesh(n)
+        stacked = self._shard_clients(
+            _broadcast_stack(self.global_params[ds], n_pad))
         opt_state = init_opt_state(self.opt_spec, stacked)
-        opt_state["t"] = jnp.zeros((n,), jnp.int32)  # per-client step counter
+        opt_state["t"] = jnp.zeros((n_pad,), jnp.int32)  # per-client steps
         frozen = self._frozen_token(ds, spec.modality)
         update_fn = build_group_update(mcfg, spec, self.opt_spec, frozen)
 
@@ -161,14 +189,21 @@ class FedAvgServer:
         gp = self.global_params[ds]
         loss_sums = np.zeros(n); cor = np.zeros(n); cnt = np.zeros(n)
         for chunk in Prefetcher(feeder.round_chunks(cfg.E)):
+            if n_pad != n:
+                # mesh-padding clients: zero rows, all steps masked off
+                chunk = {k: np.concatenate(
+                    [v, np.zeros((n_pad - n,) + v.shape[1:], v.dtype)])
+                    for k, v in chunk.items()}
+            chunk = self._shard_clients(
+                {k: jnp.asarray(v) for k, v in chunk.items()})
             self.key, k = jax.random.split(self.key)
-            rngs = jax.random.split(k, n)
+            rngs = self._shard_clients(jax.random.split(k, n_pad))
             stacked, opt_state, (ls, cs, ns) = update_fn(
                 stacked, opt_state, chunk, rngs,
                 jnp.float32(self.curr_lr), gp)
-            ns_np = np.asarray(ns, np.float64)
-            loss_sums += (np.asarray(ls, np.float64) * ns_np).sum(1)
-            cor += np.asarray(cs, np.float64).sum(1)
+            ns_np = np.asarray(ns, np.float64)[:n]
+            loss_sums += (np.asarray(ls, np.float64)[:n] * ns_np).sum(1)
+            cor += np.asarray(cs, np.float64)[:n].sum(1)
             cnt += ns_np.sum(1)
         upload = fold_aux_into_upload(mcfg, stacked)
         metrics = {cid: {"loss": float(loss_sums[j] / max(cnt[j], 1)),

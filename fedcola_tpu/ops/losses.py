@@ -108,6 +108,64 @@ def clip_contrastive(img_emb: jnp.ndarray, txt_emb: jnp.ndarray,
     return _masked_mean(per, valid)
 
 
+def dice_loss(probs: jnp.ndarray, onehot: jnp.ndarray,
+              eps: float = 1e-7) -> jnp.ndarray:
+    """Dice loss over [B, ...] probability maps
+    (reference segmentation_loss.py:9-32)."""
+    B = probs.shape[0]
+    p = probs.reshape(B, -1)
+    t = onehot.reshape(B, -1)
+    inter = jnp.sum(p * t, axis=1)
+    union = jnp.sum(p, axis=1) + jnp.sum(t, axis=1)
+    return jnp.mean(1.0 - 2.0 * inter / (union + eps))
+
+
+def seg_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+             weight_ce: float = 0.5, weight_dice: float = 0.5) -> jnp.ndarray:
+    """CE + Dice combination (reference ``SegLoss``,
+    segmentation_loss.py:35-50).  logits: [B, C, ...], targets: [B, ...]
+    integer labels (the reference indexes target[:, 0])."""
+    C = logits.shape[1]
+    flat_logits = jnp.moveaxis(logits, 1, -1).reshape(-1, C)
+    t = targets[:, 0] if targets.ndim == logits.ndim else targets
+    flat_t = t.reshape(-1).astype(jnp.int32)
+    ce = cross_entropy(flat_logits, flat_t)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+    onehot = jax.nn.one_hot(t, C, axis=1, dtype=jnp.float32)
+    return weight_ce * ce + weight_dice * dice_loss(probs, onehot)
+
+
+def mc_soft_contrastive(img_emb: jnp.ndarray, txt_emb: jnp.ndarray,
+                        valid: Optional[jnp.ndarray] = None,
+                        shift: float = 15.0,
+                        negative_scale: float = 15.0) -> jnp.ndarray:
+    """PCME Monte-Carlo soft contrastive loss, K=1 embedding case
+    (reference ``MCSoftContrastiveLoss``, src/criterions/probemb.py:89-259;
+    the alternative multimodal criterion, commented alt at
+    fedavgserver.py:79).
+
+    With one sample per embedding the per-pair NLL reduces to
+    ``softplus(-2 * s * m)`` where ``s = -negative_scale * ||zi - zj|| +
+    shift`` and ``m`` is +1 on the diagonal, -1 off it; the loss sums both
+    retrieval directions (reduction='sum', the reference default).  The
+    learnable shift/negative_scale stay at their init — like the CLIP
+    temperature, the criterion is re-instantiated per batch in the
+    reference client loop.
+    """
+    a = img_emb.astype(jnp.float32)
+    b = txt_emb.astype(jnp.float32)
+    d2 = jnp.sum(jnp.square(a[:, None, :] - b[None, :, :]), axis=-1)
+    dist = jnp.sqrt(d2 + 1e-6)
+    s = -negative_scale * dist + shift
+    n = a.shape[0]
+    m = jnp.where(jnp.eye(n, dtype=bool), 1.0, -1.0)
+    nll = jax.nn.softplus(-2.0 * s * m)
+    if valid is not None:
+        pair_ok = (valid[:, None] & valid[None, :]).astype(jnp.float32)
+        nll = nll * pair_ok
+    return 2.0 * jnp.sum(nll)  # i2t + t2i directions
+
+
 def fedprox_term(params, global_params, mu: float) -> jnp.ndarray:
     """mu/2 * ||w - w_g||^2 summed over all leaves
     (reference fedproxclient.py:64-67)."""

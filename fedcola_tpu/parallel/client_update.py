@@ -74,6 +74,25 @@ def preprocess_images(x: jnp.ndarray, spec: GroupSpec,
     return x.astype(dtype)
 
 
+def _cls_criterion(name: str):
+    """Criterion lookup by torch.nn name (reference fedavgclient.py:23,
+    incl. the monkey-patched losses src/utils.py:286-315)."""
+    return {
+        "CrossEntropyLoss": losses.cross_entropy,
+        "PainlessBCEWithLogitsLoss": losses.painless_bce,
+        "BCEWithLogitsLoss": losses.painless_bce,
+        "Seq2SeqLoss": lambda lg, y, v=None: losses.seq2seq_ce(lg, y),
+    }[name]
+
+
+def _mm_criterion(name: str):
+    """Multimodal criterion (TASK_2_CRITERION, fedavgserver.py:76-80)."""
+    return {
+        "ContrastiveLoss": losses.clip_contrastive,
+        "MCSoftContrastiveLoss": losses.mc_soft_contrastive,
+    }[name]
+
+
 def _local_loss(cfg: MATConfig, spec: GroupSpec, params, batch,
                 rng, global_params):
     """Modality-routed loss (reference fedavgclient.py:81-95)."""
@@ -84,13 +103,13 @@ def _local_loss(cfg: MATConfig, spec: GroupSpec, params, batch,
         ins = [None] * len(cfg.modalities)
         ins[spec.img_slot] = x
         logits = mat_apply(cfg, params, ins, train=True, rng=rng)[spec.img_slot]
-        loss = losses.cross_entropy(logits, batch["y"], valid)
+        loss = _cls_criterion(spec.criterion)(logits, batch["y"], valid)
         correct = jnp.sum((jnp.argmax(logits, -1) == batch["y"]) & valid)
     elif spec.modality == "txt":
         ins = [None] * len(cfg.modalities)
         ins[spec.txt_slot] = batch["x"]
         logits = mat_apply(cfg, params, ins, train=True, rng=rng)[spec.txt_slot]
-        loss = losses.cross_entropy(logits, batch["y"], valid)
+        loss = _cls_criterion(spec.criterion)(logits, batch["y"], valid)
         correct = jnp.sum((jnp.argmax(logits, -1) == batch["y"]) & valid)
     elif spec.modality == "img+txt":
         img = preprocess_images(batch["x"], spec, dtype)
@@ -98,8 +117,8 @@ def _local_loss(cfg: MATConfig, spec: GroupSpec, params, batch,
         ins[spec.img_slot] = img
         ins[spec.txt_slot] = batch["y"]          # token ids ride the target slot
         feats = mat_apply(cfg, params, ins, feat_out=True, train=True, rng=rng)
-        loss = losses.clip_contrastive(feats[spec.img_slot],
-                                       feats[spec.txt_slot], valid)
+        loss = _mm_criterion(spec.criterion)(feats[spec.img_slot],
+                                             feats[spec.txt_slot], valid)
         correct = jnp.zeros((), jnp.int32)
     else:
         raise NotImplementedError(spec.modality)
