@@ -117,6 +117,27 @@ def fetch_cifar100(root: str, train: bool, image_size: int = 32) -> TaskDataset:
                        targets=targets, image_size=image_size)
 
 
+def fetch_torchvision_generic(name: str, root: str, train: bool,
+                              image_size: Optional[int] = None) -> TaskDataset:
+    """Generic torchvision-family fetcher (reference
+    torchvisionparser.py:10-205): dispatches to torchvision datasets when
+    the package + files are present (download=False; this environment has
+    no egress).  CIFAR100 keeps its direct pickle reader above."""
+    import torchvision
+    ds = getattr(torchvision.datasets, name)(root=root, train=train,
+                                             download=False)
+    data = np.asarray(ds.data)
+    if data.ndim == 3:
+        data = data[..., None]
+    if data.shape[1] == 3 and data.shape[-1] != 3:   # NCHW -> NHWC
+        data = data.transpose(0, 2, 3, 1)
+    targets = np.asarray(ds.targets, np.int64)
+    return TaskDataset(name=name, task="cls", modality="img",
+                       num_classes=int(targets.max()) + 1, n=len(targets),
+                       images=data.astype(np.uint8), targets=targets,
+                       image_size=image_size)
+
+
 # ---------------------------------------------------------------- AG_NEWS --
 
 def fetch_agnews(root: str, train: bool, tokenizer: WordPieceTokenizer,
@@ -297,6 +318,12 @@ def fetch_dataset(name: str, root: str, train: bool,
                           kw.get("reduce_samples", 50000),
                           kw.get("reduce_test_samples", -1),
                           image_size=image_size or 224)
+    # generic torchvision families (CIFAR10, MNIST-likes) — reference
+    # torchvisionparser.py path
+    try:
+        return fetch_torchvision_generic(name, root, train, image_size)
+    except (AttributeError, ImportError, RuntimeError):
+        pass
     raise NotImplementedError(
         f"dataset {name!r}: only the reference's working families are "
         "supported (SURVEY.md §2.2 D1 notes the rest are dead branches)")

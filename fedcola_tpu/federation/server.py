@@ -235,7 +235,11 @@ class FedAvgServer:
             round_metrics.update(m)
         self.results[self.round]["clients_updated"] = round_metrics
 
-        group_members = {ds: ids for ds, ids in groups.items()}
+        # stacked uploads may be mesh-padded; pad the member lists with a
+        # sentinel so aggregation weight vectors match the stack length
+        group_members = {ds: ids + [-1] * (self._pad_to_mesh(len(ids))
+                                           - len(ids))
+                         for ds, ids in groups.items()}
         client_cfgs = {ds: self.model_cfgs[ds] for ds in groups}
 
         def aggregate_all(fedavg: bool):
@@ -306,7 +310,8 @@ class FedAvgServer:
                     payload[f"{ds} {prefix}_r@1sum"] = r1
                     r1sum += r1
                 payload[f"{ds} r@1sum"] = r1sum
-                self.results[self.round][f"server_evaluated_{ds}"] = payload
+                tag_mm = f"{ds}_fedavg" if fedavg else ds
+                self.results[self.round][f"server_evaluated_{tag_mm}"] = payload
                 logger.info("[EVAL] [%s] r@1sum=%.4f 5k_i2t_r@1=%.4f "
                             "5k_t2i_r@1=%.4f", ds, r1sum,
                             res["i2t"]["recall_1"], res["t2i"]["recall_1"])
@@ -334,7 +339,9 @@ class FedAvgServer:
                     mm.track(loss, logits, y)
                 mm.aggregate(n)
                 result = mm.results
-                tag = ds + ("after" if not fedavg else "")
+                # clean keys (the reference has a precedence slip here,
+                # fedavgserver.py:353-355 — SURVEY.md §7 says fix, not copy)
+                tag = f"{ds}_fedavg" if fedavg else ds
                 self.results[self.round][f"server_evaluated_{tag}"] = result
                 logger.info("[EVAL] [%s] loss=%.4f %s", ds, result["loss"],
                             " ".join(f"{k}={v:.4f}"

@@ -39,41 +39,49 @@ def _interpret() -> bool:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref):
-    q = q_ref[0].astype(jnp.float32)          # [N, hd]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    """One program handles G (batch*head) pairs: [G, N, hd] blocks.  The
+    per-pair loop is unrolled at trace time, amortising grid iteration
+    overhead while each matmul stays MXU-shaped."""
+    G = q_ref.shape[0]
+    for g in range(G):
+        q = q_ref[g].astype(jnp.float32)      # [N, hd]
+        k = k_ref[g].astype(jnp.float32)
+        v = v_ref[g]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / denom).astype(v.dtype)
+        o_ref[g] = jnp.dot(p, v,
+                           preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)          # [N, N]
-    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)
-    ds = p * (dp - delta)
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    G = q_ref.shape[0]
+    for g in range(G):
+        q = q_ref[g].astype(jnp.float32)
+        k = k_ref[g].astype(jnp.float32)
+        v = v_ref[g].astype(jnp.float32)
+        do = do_ref[g].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)          # [N, N]
+        dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[g] = dq.astype(dq_ref.dtype)
+        dk_ref[g] = dk.astype(dk_ref.dtype)
+        dv_ref[g] = dv.astype(dv_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -88,6 +96,18 @@ def _merge_bh(x):
     return x.reshape(B * H, N, hd)
 
 
+def _pick_group(n_pairs: int, N: int, hd: int, n_bufs: int) -> int:
+    """Largest divisor of n_pairs whose working set fits a VMEM budget."""
+    per_pair = n_bufs * N * hd * 4 + 3 * N * N * 4
+    budget = 10 * 1024 * 1024
+    g_max = max(1, budget // per_pair)
+    g = 1
+    for cand in range(1, min(g_max, n_pairs) + 1):
+        if n_pairs % cand == 0:
+            g = cand
+    return g
+
+
 def _fa_fwd(q, k, v, scale: float):
     B, H, N, hd = q.shape
     if N > MAX_FUSED_SEQ:
@@ -95,11 +115,12 @@ def _fa_fwd(q, k, v, scale: float):
         return _attention_xla(q, k, v, scale), (q, k, v)
     qm = _merge_bh(q * jnp.asarray(scale, q.dtype))
     km, vm = _merge_bh(k), _merge_bh(v)
-    spec = pl.BlockSpec((1, N, hd), lambda i: (i, 0, 0),
+    G = _pick_group(B * H, N, hd, n_bufs=4)
+    spec = pl.BlockSpec((G, N, hd), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     o = pl.pallas_call(
         _fwd_kernel,
-        grid=(B * H,),
+        grid=(B * H // G,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B * H, N, hd), q.dtype),
@@ -124,11 +145,12 @@ def _fa_bwd(scale: float, residuals, do):
         return vjp(do)
     qm = _merge_bh(q * jnp.asarray(scale, q.dtype))
     km, vm, dom = _merge_bh(k), _merge_bh(v), _merge_bh(do)
-    spec = pl.BlockSpec((1, N, hd), lambda i: (i, 0, 0),
+    G = _pick_group(B * H, N, hd, n_bufs=7)
+    spec = pl.BlockSpec((G, N, hd), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         _bwd_kernel,
-        grid=(B * H,),
+        grid=(B * H // G,),
         in_specs=[spec, spec, spec, spec],
         out_specs=(spec, spec, spec),
         out_shape=(jax.ShapeDtypeStruct((B * H, N, hd), q.dtype),

@@ -24,6 +24,9 @@ def make_cfg(**kw):
         split_type="iid", synthetic_data=True, use_pallas=False,
         compute_dtype="float32", equal_sampled=True,
         train_chunk_steps=4, resize=32, vocab_size=120,
+        # 2-device mesh: exercises the sharded client axis without padding
+        # small groups up to all 8 virtual devices
+        mesh_shape=[2],
     )
     base.update(kw)
     return check_args(ExperimentConfig(**base))
@@ -45,7 +48,7 @@ def test_text_only_fedavg():
     """Build step 4: text-only MedicalAbstracts clients, tiny MAT."""
     cfg = make_cfg()
     server = run_rounds(cfg)
-    key = "server_evaluated_MedicalAbstractsafter"
+    key = "server_evaluated_MedicalAbstracts"
     res = server.results[2][key]
     assert np.isfinite(res["loss"])
     assert 0.0 <= res["metrics"]["acc1"] <= 1.0
