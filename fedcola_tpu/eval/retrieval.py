@@ -42,8 +42,7 @@ def extract_features(cfg: MATConfig, spec: GroupSpec, params,
     if rng is not None:
         rng.shuffle(order)
 
-    D = cfg.embed_dim
-    img_feats, cap_feats = [], []
+    cap_feats = []
     img_ids_seen: Dict[int, int] = {}
     image_feature_rows = []
     image_classes = []

@@ -202,6 +202,61 @@ def test_modality_scope_skip_but_count():
         else None
 
 
+def test_creamfl_zero_init_aggregation():
+    """CreamFL's mm aggregate: zero-init plain weighted sum with its own
+    coefficient variant (creamflserver.py:251-292)."""
+    cfgs = toy_cfgs("none", "dataset")
+    clients = make_world(cfgs)
+    sorted_ids = [0, 1, 2, 3, 4]
+    sizes = {c.id: c.n_train for c in clients.values()}
+    key = jax.random.PRNGKey(3)
+    client_params = {}
+    for cid, c in clients.items():
+        key, k = jax.random.split(key)
+        client_params[cid] = init_mat(cfgs[c.dataset], k)
+    group_members = {}
+    for cid, c in clients.items():
+        group_members.setdefault(c.dataset, []).append(cid)
+    stacked = {
+        ds: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                   *[client_params[cid] for cid in ids])
+        for ds, ids in group_members.items()
+    }
+    all_names = []
+    for cfg in cfgs.values():
+        for _, n in naming.param_names(cfg):
+            if n not in all_names:
+                all_names.append(n)
+    scope = naming.build_param_scope(all_names, "none", "dataset")
+
+    key, k = jax.random.split(key)
+    gparams = init_mat(cfgs["Coco"], k)
+    jobs, weights = agg.plan_aggregation(
+        "Coco", cfgs["Coco"], {d: cfgs[d] for d in group_members},
+        clients, sorted_ids, sizes, scope, EXP_MODALITIES, group_members,
+        creamfl=True, zero_init=True,
+        model_modality="img+txt", model_task="rtv")
+    new_params = agg.apply_aggregation(jobs, weights, gparams, stacked)
+
+    # golden: zero-init Σ c_i w_i where only Coco clients contribute
+    required = naming.required_param_names(cfgs["Coco"])
+    coeffs = agg.compute_coefficients(
+        "Coco", "img+txt", "rtv", [n for _, n in required], scope, clients,
+        sorted_ids, sizes, EXP_MODALITIES, creamfl=True)
+    uploads = {cid: named_upload(cfgs[clients[cid].dataset],
+                                 client_params[cid]) for cid in sorted_ids}
+    for path, name in required:
+        golden = np.zeros_like(
+            np.asarray(naming.get_by_path(gparams, path)))
+        for cid in sorted_ids:
+            c = coeffs[name].get(cid, 0.0)
+            if c and name in uploads[cid]:
+                golden = golden + uploads[cid][name] * c
+        got = np.asarray(naming.get_by_path(new_params, path))
+        np.testing.assert_allclose(got, golden, rtol=2e-5, atol=2e-6,
+                                   err_msg=name)
+
+
 def test_streaming_closed_form_golden():
     rng = np.random.RandomState(0)
     g = rng.randn(4)

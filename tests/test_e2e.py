@@ -77,6 +77,33 @@ def test_mixed_population_fedcola():
     assert any("r@1sum" in k for k in ev)
 
 
+def test_warmup_freeze_and_fedavg_eval():
+    """Warmup rounds filter sampled modalities (fedavgserver.py:307-308);
+    the freeze window compiles a frozen-mask program variant; --fedavg_eval
+    pre-evaluates a plain aggregate then restores."""
+    cfg = make_cfg(
+        datasets=["CIFAR100", "AG_NEWS", "AG_NEWS"],
+        modalities=["img", "txt", "txt"],
+        Ks=[2, 2], Cs=[1.0, 1.0],
+        shared_param="attn", share_scope="all",
+        warmup_modality="img", warmup_rounds=1,
+        freeze_modality="txt", freeze_rounds=1,
+        fedavg_eval=True, B=8,
+    )
+    rng = np.random.RandomState(cfg.seed)
+    from fedcola_tpu.data.loaders import load_federated_data
+    data = load_federated_data(cfg, rng)
+    server = create_server(cfg, data)
+    server.round = 1
+    sampled = server.update()          # warmup: img only
+    assert all(server.clients[i].modality == "img" for i in sampled)
+    server.round = 2                   # freeze window for txt clients
+    sampled = server.update()
+    assert any(server.clients[i].modality == "txt" for i in sampled)
+    # fedavg_eval produced the pre-aggregate eval entries
+    assert any(k.endswith("_fedavg") for k in server.results[2])
+
+
 def test_creamfl_runs():
     """CreamFL: public-set phases + contrastive-weighted feature aggregation
     + zero-init mm aggregate + server distillation."""
