@@ -43,7 +43,43 @@ class ClientShard:
         return len(self.indices)
 
 
-def _gather_batch(ds: TaskDataset, idx: np.ndarray, B: int, modality: str):
+@dataclass
+class AugmentSpec:
+    """Host-side train-time augmentations (reference ``_get_transform``,
+    data.py:86-134).  The canonical scripts only use --resize/--imnorm
+    (both handled on device); these cover the remaining flags."""
+    crop: Optional[int] = None       # RandomCrop(crop, padding=4)
+    randhf: Optional[float] = None   # RandomHorizontalFlip(p)
+    randvf: Optional[float] = None   # RandomVerticalFlip(p)
+
+
+def _augment(images: np.ndarray, aug: AugmentSpec,
+             rng: np.random.RandomState) -> np.ndarray:
+    B = images.shape[0]
+    if aug.randhf is not None:
+        flip = rng.rand(B) < aug.randhf
+        images = np.where(flip[:, None, None, None],
+                          images[:, :, ::-1, :], images)
+    if aug.randvf is not None:
+        flip = rng.rand(B) < aug.randvf
+        images = np.where(flip[:, None, None, None],
+                          images[:, ::-1, :, :], images)
+    if aug.crop is not None:
+        c = aug.crop
+        padded = np.pad(images, ((0, 0), (4, 4), (4, 4), (0, 0)))
+        H = padded.shape[1]
+        out = np.empty((B, c, c, images.shape[-1]), images.dtype)
+        ys = rng.randint(0, H - c + 1, B)
+        xs = rng.randint(0, padded.shape[2] - c + 1, B)
+        for i in range(B):
+            out[i] = padded[i, ys[i]:ys[i] + c, xs[i]:xs[i] + c]
+        images = out
+    return images
+
+
+def _gather_batch(ds: TaskDataset, idx: np.ndarray, B: int, modality: str,
+                  aug: Optional[AugmentSpec] = None,
+                  aug_rng: Optional[np.random.RandomState] = None):
     """Gather one batch, padding to B with repeated index 0 rows."""
     nb = len(idx)
     pad = B - nb
@@ -61,6 +97,8 @@ def _gather_batch(ds: TaskDataset, idx: np.ndarray, B: int, modality: str):
     else:  # img+txt: token ids ride the target slot (fedavgclient.py:92-95)
         out["x"] = ds.load_images(idx)
         out["y"] = ds.texts[idx]
+    if aug is not None and "x" in out and out["x"].ndim == 4:
+        out["x"] = _augment(out["x"], aug, aug_rng)
     return out
 
 
@@ -70,12 +108,14 @@ class GroupFeeder:
     def __init__(self, shards: List[ClientShard], B: int, modality: str,
                  chunk_steps: int = 8, shuffle: bool = True,
                  rng: Optional[np.random.RandomState] = None,
-                 debug_two_batches: bool = False):
+                 debug_two_batches: bool = False,
+                 aug: Optional[AugmentSpec] = None):
         self.shards = shards
         self.B = B if B > 0 else max(s.n for s in shards)
         self.modality = modality
         self.chunk_steps = chunk_steps
         self.shuffle = shuffle
+        self.aug = aug
         self.rng = rng or np.random.RandomState(0)
         self.steps_per_client = np.array(
             [min(-(-s.n // self.B), 2) if debug_two_batches
@@ -102,10 +142,12 @@ class GroupFeeder:
                 for s in range(start, stop):
                     if s < self.steps_per_client[c]:
                         idx = orders[c][s * B:(s + 1) * B]
-                        b = _gather_batch(shard.dataset, idx, B, self.modality)
+                        b = _gather_batch(shard.dataset, idx, B,
+                                          self.modality, self.aug, self.rng)
                     else:
                         idx = orders[c][:1] if shard.n else np.array([0])
-                        b = _gather_batch(shard.dataset, idx, B, self.modality)
+                        b = _gather_batch(shard.dataset, idx, B,
+                                          self.modality, self.aug, self.rng)
                         b["valid"][:] = False
                     batches.append(b)
                 stacked = {k: np.stack([b[k] for b in batches])

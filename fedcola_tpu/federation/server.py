@@ -181,11 +181,16 @@ class FedAvgServer:
         update_fn = build_group_update(mcfg, spec, self.opt_spec, frozen)
 
         shards = [self.data.client_shards[i] for i in ids]
+        from fedcola_tpu.data.pipeline import AugmentSpec
+        aug = None
+        if "img" in spec.modality and (cfg.crop or cfg.randhf or cfg.randvf):
+            aug = AugmentSpec(crop=cfg.crop, randhf=cfg.randhf,
+                              randvf=cfg.randvf)
         feeder = GroupFeeder(shards, cfg.B, spec.modality,
                              chunk_steps=cfg.train_chunk_steps,
                              shuffle=not cfg.no_shuffle,
                              rng=self.shuffle_rng,
-                             debug_two_batches=cfg.debug)
+                             debug_two_batches=cfg.debug, aug=aug)
         gp = self.global_params[ds]
         loss_sums = np.zeros(n); cor = np.zeros(n); cnt = np.zeros(n)
         for chunk in Prefetcher(feeder.round_chunks(cfg.E)):
@@ -445,7 +450,8 @@ class FedAvgServer:
                              summary["loss"]["std"]}, self.round)
 
     def evaluate(self, excluded_ids=()):
-        if self.cfg.eval_type != "global":
+        if self.cfg.eval_type != "global" and not getattr(
+                self.cfg, "train_only", False):
             ids = sample_clients(
                 self.sampler, self.client_dataset_of,
                 self.client_modality_of, self.cfg.client_datasets, self.Cs,
