@@ -73,6 +73,10 @@ class MATConfig:
     use_pallas: bool = True
     compute_dtype: str = "bfloat16"
     remat: bool = True  # rematerialise block activations in the backward pass
+    # 'full': store only per-layer inputs (min HBM, recompute everything);
+    # 'save_attn': additionally store attention outputs, skipping the
+    # attention recompute in the backward pass (HBM/FLOP middle ground)
+    remat_policy: str = "full"
 
     @property
     def num_patches(self) -> int:
@@ -293,6 +297,9 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
         a = multi_head_attention(a, layer["qkv_kernel"], layer["qkv_bias"],
                                  layer["proj_kernel"], layer["proj_bias"],
                                  cfg.num_heads, use_pallas=cfg.use_pallas)
+        if cfg.remat_policy == "save_attn":
+            from jax.ad_checkpoint import checkpoint_name
+            a = checkpoint_name(a, "attn_out")
         h = h + _drop_path(a, rate, rng_a, train)
         m = _layer_norm(h, layer["norm2_scale"], layer["norm2_bias"], 1e-5)
         m = m @ layer["fc1_kernel"].astype(m.dtype) + layer["fc1_bias"].astype(m.dtype)
@@ -305,7 +312,15 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
         layer_rngs = jax.random.split(rng, (cfg.depth, 2))
         # remat: store only per-layer inputs; recompute attention/MLP
         # intermediates in the backward pass (HBM >> FLOPs trade on TPU)
-        fwd = jax.checkpoint(layer_fwd) if cfg.remat else layer_fwd
+        if not cfg.remat:
+            fwd = layer_fwd
+        elif cfg.remat_policy == "save_attn":
+            fwd = jax.checkpoint(
+                layer_fwd,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_out"))
+        else:
+            fwd = jax.checkpoint(layer_fwd)
 
         def body(h, xs):
             layer, rate, ks = xs
