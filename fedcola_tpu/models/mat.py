@@ -71,6 +71,11 @@ class MATConfig:
     aux_attn_only: bool = False
     aux_mlp_only: bool = False
     use_pallas: bool = True
+    # fused MLP kernel: wins for single-model programs (eval, distillation)
+    # but under client-vmapped training the weight blocks replicate per
+    # client inside VMEM and the dW accumulators OOM the 16MB budget —
+    # keep off for vmapped paths (see ops/fused_mlp.py)
+    use_fused_mlp: bool = False
     compute_dtype: str = "bfloat16"
     remat: bool = True  # rematerialise block activations in the backward pass
     # 'full': store only per-layer inputs (min HBM, recompute everything);
@@ -302,9 +307,21 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
             a = checkpoint_name(a, "attn_out")
         h = h + _drop_path(a, rate, rng_a, train)
         m = _layer_norm(h, layer["norm2_scale"], layer["norm2_bias"], 1e-5)
-        m = m @ layer["fc1_kernel"].astype(m.dtype) + layer["fc1_bias"].astype(m.dtype)
-        m = jax.nn.gelu(m, approximate=False)   # torch nn.GELU default: exact
-        m = m @ layer["fc2_kernel"].astype(m.dtype) + layer["fc2_bias"].astype(m.dtype)
+        if cfg.use_fused_mlp and jax.default_backend() == "tpu":
+            from fedcola_tpu.ops.fused_mlp import fused_mlp
+            B_, N_, D_ = m.shape
+            m = fused_mlp(m.reshape(B_ * N_, D_),
+                          layer["fc1_kernel"].astype(m.dtype),
+                          layer["fc1_bias"].astype(m.dtype),
+                          layer["fc2_kernel"].astype(m.dtype),
+                          layer["fc2_bias"].astype(m.dtype))
+            m = m.reshape(B_, N_, D_)
+        else:
+            m = m @ layer["fc1_kernel"].astype(m.dtype) \
+                + layer["fc1_bias"].astype(m.dtype)
+            m = jax.nn.gelu(m, approximate=False)  # torch default: exact erf
+            m = m @ layer["fc2_kernel"].astype(m.dtype) \
+                + layer["fc2_bias"].astype(m.dtype)
         h = h + _drop_path(m, rate, rng_m, train)
         return h
 

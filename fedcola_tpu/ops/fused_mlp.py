@@ -1,0 +1,260 @@
+"""Fused transformer MLP Pallas kernels: fc1 -> exact GELU -> fc2 without
+materialising the 4x-wide hidden activation in HBM.
+
+The MAT block's MLP (reference Mlp, mome.py:100-123) is the largest HBM
+consumer after attention at MAT shapes: the [rows, 4D] hidden tensor is
+written+read in the forward and twice more in the backward.  These kernels
+tile the flattened token rows, keep the hidden tile in VMEM, and the custom
+VJP recomputes the hidden activations per tile in the backward (consistent
+with the framework's full-remat stance — HBM bandwidth is the scarce
+resource on v5e).
+
+Batching design: jax's default pallas vmap widens every block with the
+mapped axis, so under the client-vmapped training programs the f32 dW
+accumulators would scale with n_clients and blow the 16MB VMEM budget.
+A ``custom_vmap`` rule instead maps the client axis onto an **outer grid
+dimension** — each program still holds exactly one client's weights and one
+row tile, and the dW accumulation runs per client over the (sequential,
+fastest-iterating) row-tile dimension.
+
+dW/db gradients accumulate across row tiles in f32 inside the output refs:
+TPU grids iterate row-major, so read-modify-write accumulation per client
+is the standard k-loop pattern.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_FWD_ROWS = 512
+_BWD_ROWS = 128
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational approximation (|err| < 1.5e-7):
+    Mosaic has no erf/erfc primitive, but exp is native."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    # explicit erf form of torch's default (exact) GELU
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865475))
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ------------------------------------------------------------- kernels -----
+
+def _fwd_math(x, w1, b1, w2, b2, o_dtype):
+    h = jnp.dot(x, w1.astype(x.dtype), preferred_element_type=jnp.float32)
+    h = _gelu_exact(h + b1.astype(jnp.float32)).astype(x.dtype)
+    o = jnp.dot(h, w2.astype(x.dtype), preferred_element_type=jnp.float32)
+    return (o + b2.astype(jnp.float32)).astype(o_dtype)
+
+
+def _bwd_math(x, w1, b1, w2, do):
+    x = x.astype(jnp.float32)
+    w1 = w1.astype(jnp.float32)
+    w2 = w2.astype(jnp.float32)
+    do = do.astype(jnp.float32)
+    pre = jnp.dot(x, w1, preferred_element_type=jnp.float32) \
+        + b1.astype(jnp.float32)
+    h = _gelu_exact(pre)
+    dh = jax.lax.dot_general(do, w2, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    inv_sqrt2 = 0.7071067811865475
+    cdf = 0.5 * (1.0 + _erf(pre * inv_sqrt2))
+    pdf = jnp.exp(-0.5 * pre * pre) * 0.3989422804014327
+    dpre = dh * (cdf + pre * pdf)
+    dx = jax.lax.dot_general(dpre, w1, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dw1 = jax.lax.dot_general(x, dpre, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dpre, axis=0, keepdims=True)
+    dw2 = jax.lax.dot_general(h, do, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db2 = jnp.sum(do, axis=0, keepdims=True)
+    return dx, dw1, db1, dw2, db2
+
+
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    o_ref[0] = _fwd_math(x_ref[0], w1_ref[0], b1_ref[0], w2_ref[0],
+                         b2_ref[0], o_ref.dtype)
+
+
+def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, do_ref,
+                dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                dw1_acc, db1_acc, dw2_acc, db2_acc):
+    """dW accumulation lives in single-buffered VMEM scratch (the
+    double-buffered output blocks would blow the 16MB budget together with
+    the weight operands); results spill to the HBM-backed outputs on the
+    last row tile of each client."""
+    dx, dw1, db1, dw2, db2 = _bwd_math(x_ref[0], w1_ref[0], b1_ref[0],
+                                       w2_ref[0], do_ref[0])
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    i = pl.program_id(1)  # row-tile grid dim (iterates fastest)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_acc[...] = jnp.zeros_like(dw1_acc)
+        db1_acc[...] = jnp.zeros_like(db1_acc)
+        dw2_acc[...] = jnp.zeros_like(dw2_acc)
+        db2_acc[...] = jnp.zeros_like(db2_acc)
+
+    dw1_acc[...] += dw1
+    db1_acc[...] += db1
+    dw2_acc[...] += dw2
+    db2_acc[...] += db2
+
+    @pl.when(i == n_tiles - 1)
+    def _spill():
+        dw1_ref[0] = dw1_acc[...]
+        db1_ref[0] = db1_acc[...]
+        dw2_ref[0] = dw2_acc[...]
+        db2_ref[0] = db2_acc[...]
+
+
+def _pad_rows(x, r, axis):
+    rows = x.shape[axis]
+    pad = (-rows) % r
+    if pad:
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        x = jnp.pad(x, widths)
+    return x, rows
+
+
+# --------------------------------------------------- batched pallas calls ---
+
+def _fwd_call(x, w1, b1, w2, b2):
+    """x: [n, rows, D]; w1: [n, D, H]; b1: [n, 1, H]; w2: [n, H, D];
+    b2: [n, 1, D] -> [n, rows, D].  Grid (n, row_tiles)."""
+    n, _, D = x.shape
+    Hd = w1.shape[-1]
+    xp, rows = _pad_rows(x, _FWD_ROWS, axis=1)
+    R = _FWD_ROWS
+    row = pl.BlockSpec((1, R, D), lambda c, i: (c, i, 0),
+                       memory_space=pltpu.VMEM)
+    per_c = lambda shape: pl.BlockSpec((1,) + shape,
+                                       lambda c, i: (c,) + (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    o = pl.pallas_call(
+        _fwd_kernel,
+        grid=(n, xp.shape[1] // R),
+        in_specs=[row, per_c((D, Hd)), per_c((1, Hd)), per_c((Hd, D)),
+                  per_c((1, D))],
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * xp.shape[1] * D * Hd,
+            bytes_accessed=(n * xp.shape[1] * D * 2 + n * D * Hd * 2)
+            * x.dtype.itemsize,
+            transcendentals=n * xp.shape[1] * Hd,
+        ),
+        interpret=_interpret(),
+    )(xp, w1, b1, w2, b2)
+    return o[:, :rows]
+
+
+def _bwd_call(x, w1, b1, w2, do):
+    n, _, D = x.shape
+    Hd = w1.shape[-1]
+    xp, rows = _pad_rows(x, _BWD_ROWS, axis=1)
+    dop, _ = _pad_rows(do, _BWD_ROWS, axis=1)
+    R = _BWD_ROWS
+    row = pl.BlockSpec((1, R, D), lambda c, i: (c, i, 0),
+                       memory_space=pltpu.VMEM)
+    per_c = lambda shape: pl.BlockSpec((1,) + shape,
+                                       lambda c, i: (c,) + (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    dx, dw1, db1, dw2, db2 = pl.pallas_call(
+        _bwd_kernel,
+        grid=(n, xp.shape[1] // R),
+        in_specs=[row, per_c((D, Hd)), per_c((1, Hd)), per_c((Hd, D)), row],
+        out_specs=(row, per_c((D, Hd)), per_c((1, Hd)), per_c((Hd, D)),
+                   per_c((1, D))),
+        scratch_shapes=[pltpu.VMEM((D, Hd), jnp.float32),
+                        pltpu.VMEM((1, Hd), jnp.float32),
+                        pltpu.VMEM((Hd, D), jnp.float32),
+                        pltpu.VMEM((1, D), jnp.float32)],
+        out_shape=(jax.ShapeDtypeStruct(xp.shape, x.dtype),
+                   jax.ShapeDtypeStruct((n, D, Hd), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 1, Hd), jnp.float32),
+                   jax.ShapeDtypeStruct((n, Hd, D), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 1, D), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n * xp.shape[1] * D * Hd,
+            bytes_accessed=(n * xp.shape[1] * D * 4 + n * D * Hd * 4) * 4,
+            transcendentals=2 * n * xp.shape[1] * Hd,
+        ),
+        interpret=_interpret(),
+    )(xp, w1, b1, w2, dop)
+    return dx[:, :rows], dw1, db1, dw2, db2
+
+
+# ------------------------------------------------ custom_vmap + custom_vjp --
+
+def _batch_arg(x, batched, axis_size):
+    if batched:
+        return x
+    return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+
+@custom_vmap
+def _fwd_cv(x, w1, b1, w2, b2):
+    return _fwd_call(x[None], w1[None], b1[None], w2[None], b2[None])[0]
+
+
+@_fwd_cv.def_vmap
+def _fwd_cv_rule(axis_size, in_batched, x, w1, b1, w2, b2):
+    args = [_batch_arg(a, b, axis_size)
+            for a, b in zip((x, w1, b1, w2, b2), in_batched)]
+    return _fwd_call(*args), True
+
+
+@custom_vmap
+def _bwd_cv(x, w1, b1, w2, do):
+    dx, dw1, db1, dw2, db2 = _bwd_call(x[None], w1[None], b1[None],
+                                       w2[None], do[None])
+    return dx[0], dw1[0], db1[0], dw2[0], db2[0]
+
+
+@_bwd_cv.def_vmap
+def _bwd_cv_rule(axis_size, in_batched, x, w1, b1, w2, do):
+    args = [_batch_arg(a, b, axis_size)
+            for a, b in zip((x, w1, b1, w2, do), in_batched)]
+    out = _bwd_call(*args)
+    return out, (True,) * 5
+
+
+@jax.custom_vjp
+def fused_mlp(x, w1, b1, w2, b2):
+    """x: [rows, D]; w1: [D, H]; b1: [H]; w2: [H, D]; b2: [D] -> [rows, D]."""
+    return _fwd_cv(x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
+
+
+def _vjp_fwd(x, w1, b1, w2, b2):
+    out = _fwd_cv(x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
+    return out, (x, w1, b1, w2, b2)
+
+
+def _vjp_bwd(res, do):
+    x, w1, b1, w2, b2 = res
+    dx, dw1, db1, dw2, db2 = _bwd_cv(x, w1, b1.reshape(1, -1), w2, do)
+    return (dx, dw1.astype(w1.dtype), db1.reshape(b1.shape).astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.reshape(b2.shape).astype(b2.dtype))
+
+
+fused_mlp.defvjp(_vjp_fwd, _vjp_bwd)
