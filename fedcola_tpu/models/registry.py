@@ -64,6 +64,7 @@ def build_mat_config(model_name: str, cfg: ExperimentConfig,
         aux_attn_only=cfg.aux_attn_only,
         aux_mlp_only=cfg.aux_mlp_only,
         use_pallas=cfg.use_pallas,
+        use_fused_mlp=cfg.use_pallas,
         compute_dtype=cfg.compute_dtype,
         **slots,
     )

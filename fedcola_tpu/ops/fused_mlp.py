@@ -95,14 +95,15 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
 
 def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, do_ref,
                 dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                dw1_acc, db1_acc, dw2_acc, db2_acc):
-    """dW accumulation lives in single-buffered VMEM scratch (the
-    double-buffered output blocks would blow the 16MB budget together with
-    the weight operands); results spill to the HBM-backed outputs on the
-    last row tile of each client."""
+                dw1_acc, db1_acc, dw2_acc, db2_acc, sems):
+    """dW accumulation lives in single-buffered VMEM scratch (both
+    double-buffered output blocks and the weight operands competing for the
+    16MB budget); results DMA to HBM-resident outputs on each client's last
+    row tile."""
     dx, dw1, db1, dw2, db2 = _bwd_math(x_ref[0], w1_ref[0], b1_ref[0],
                                        w2_ref[0], do_ref[0])
     dx_ref[0] = dx.astype(dx_ref.dtype)
+    c = pl.program_id(0)
     i = pl.program_id(1)  # row-tile grid dim (iterates fastest)
     n_tiles = pl.num_programs(1)
 
@@ -120,10 +121,12 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, do_ref,
 
     @pl.when(i == n_tiles - 1)
     def _spill():
-        dw1_ref[0] = dw1_acc[...]
-        db1_ref[0] = db1_acc[...]
-        dw2_ref[0] = dw2_acc[...]
-        db2_ref[0] = db2_acc[...]
+        for j, (acc, ref) in enumerate([
+                (dw1_acc, dw1_ref), (db1_acc, db1_ref),
+                (dw2_acc, dw2_ref), (db2_acc, db2_ref)]):
+            dma = pltpu.make_async_copy(acc, ref.at[c], sems.at[j])
+            dma.start()
+            dma.wait()
 
 
 def _pad_rows(x, r, axis):
@@ -183,12 +186,16 @@ def _bwd_call(x, w1, b1, w2, do):
         _bwd_kernel,
         grid=(n, xp.shape[1] // R),
         in_specs=[row, per_c((D, Hd)), per_c((1, Hd)), per_c((Hd, D)), row],
-        out_specs=(row, per_c((D, Hd)), per_c((1, Hd)), per_c((Hd, D)),
-                   per_c((1, D))),
+        out_specs=(row,
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
         scratch_shapes=[pltpu.VMEM((D, Hd), jnp.float32),
                         pltpu.VMEM((1, Hd), jnp.float32),
                         pltpu.VMEM((Hd, D), jnp.float32),
-                        pltpu.VMEM((1, D), jnp.float32)],
+                        pltpu.VMEM((1, D), jnp.float32),
+                        pltpu.SemaphoreType.DMA((4,))],
         out_shape=(jax.ShapeDtypeStruct(xp.shape, x.dtype),
                    jax.ShapeDtypeStruct((n, D, Hd), jnp.float32),
                    jax.ShapeDtypeStruct((n, 1, Hd), jnp.float32),
