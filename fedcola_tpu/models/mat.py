@@ -92,6 +92,13 @@ class MATConfig:
         return int(self.embed_dim * self.mlp_ratio)
 
     @property
+    def fused_mlp_ok(self) -> bool:
+        """The fused MLP's dW DMA spill requires 128-lane-aligned dims
+        (Mosaic memref slices): ViT-small/base qualify, tiny/toy don't."""
+        return (self.use_fused_mlp and self.embed_dim % 128 == 0
+                and self.hidden_dim % 128 == 0)
+
+    @property
     def main_slot(self) -> int:
         """First present modality slot (reference mome.py:768-771,819-822)."""
         for i, m in enumerate(self.modalities):
@@ -307,7 +314,7 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
             a = checkpoint_name(a, "attn_out")
         h = h + _drop_path(a, rate, rng_a, train)
         m = _layer_norm(h, layer["norm2_scale"], layer["norm2_bias"], 1e-5)
-        if cfg.use_fused_mlp and jax.default_backend() == "tpu":
+        if cfg.fused_mlp_ok and jax.default_backend() == "tpu":
             from fedcola_tpu.ops.fused_mlp import fused_mlp
             B_, N_, D_ = m.shape
             m = fused_mlp(m.reshape(B_ * N_, D_),
