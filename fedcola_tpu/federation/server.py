@@ -239,6 +239,21 @@ class FedAvgServer:
             uploads[ds], m = self._train_group(ds, ids)
             round_metrics.update(m)
         self.results[self.round]["clients_updated"] = round_metrics
+        # training-loss cohort summary (reference _log_results,
+        # fedavgserver.py:362-379)
+        tr_losses = [round_metrics[i]["loss"] for i in sampled]
+        tr_sizes = [updated_sizes[i] for i in sampled]
+        summary = self.summarize_losses(tr_losses, tr_sizes)
+        self.results[self.round]["clients_updated_summary"] = {"loss": summary}
+        logger.info("[%s] [Round %04d] [UPDATE] [SUMMARY] (%d clients) "
+                    "loss avg %.4f std %.4f | top10%% %.4f | bottom10%% %.4f",
+                    cfg.algorithm.upper(), self.round, len(sampled),
+                    summary["avg"], summary["std"], summary["top10p_avg"],
+                    summary["bottom10p_avg"])
+        if self.writer:
+            self.writer.log({"Local Training Loss/Avg.": summary["avg"],
+                             "Local Training Loss/Std.": summary["std"]},
+                            self.round)
 
         # stacked uploads may be mesh-padded; pad the member lists with a
         # sentinel so aggregation weight vectors match the stack length
