@@ -99,6 +99,12 @@ class MATConfig:
                 and self.hidden_dim % 128 == 0)
 
     @property
+    def fused_attn_ok(self) -> bool:
+        """Fully fused attention sublayer (LN1+qkv+attention+proj) — same
+        alignment constraint as the fused MLP."""
+        return self.use_pallas and self.embed_dim % 128 == 0
+
+    @property
     def main_slot(self) -> int:
         """First present modality slot (reference mome.py:768-771,819-822)."""
         for i, m in enumerate(self.modalities):
@@ -305,10 +311,26 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
     dpr = jnp.asarray(cfg.drop_path_rates, dtype=jnp.float32)
 
     def layer_fwd(h, layer, rate, rng_a, rng_m):
-        a = _layer_norm(h, layer["norm1_scale"], layer["norm1_bias"], 1e-5)
-        a = multi_head_attention(a, layer["qkv_kernel"], layer["qkv_bias"],
-                                 layer["proj_kernel"], layer["proj_bias"],
-                                 cfg.num_heads, use_pallas=cfg.use_pallas)
+        if cfg.fused_attn_ok and jax.default_backend() == "tpu":
+            from fedcola_tpu.ops.fused_attention import \
+                make_fused_attention_sublayer
+            dtype = h.dtype
+            # LN params stay f32 (matches the unfused path's numerics);
+            # matmul operands cast to the compute dtype
+            a = make_fused_attention_sublayer(cfg.num_heads)(
+                h,
+                layer["norm1_scale"], layer["norm1_bias"],
+                layer["qkv_kernel"].astype(dtype),
+                layer["qkv_bias"].astype(dtype),
+                layer["proj_kernel"].astype(dtype),
+                layer["proj_bias"].astype(dtype))
+        else:
+            a = _layer_norm(h, layer["norm1_scale"], layer["norm1_bias"],
+                            1e-5)
+            a = multi_head_attention(
+                a, layer["qkv_kernel"], layer["qkv_bias"],
+                layer["proj_kernel"], layer["proj_bias"],
+                cfg.num_heads, use_pallas=cfg.use_pallas)
         if cfg.remat_policy == "save_attn":
             from jax.ad_checkpoint import checkpoint_name
             a = checkpoint_name(a, "attn_out")

@@ -1,0 +1,317 @@
+"""Fully fused attention sublayer Pallas kernel:
+
+    a = proj( multi_head_attention( LayerNorm(x) ) )
+
+i.e. the complete pre-residual attention path of a MAT block (reference
+Block.forward first half, mome.py:225-227; Attention, mome.py:150-168;
+fp32 scores/softmax preserved).  One program handles one (client, batch
+item): the [N, 3D] qkv tensor, the per-head [N, N] score matrices and the
+LayerNorm intermediates never touch HBM — per layer per step the only HBM
+activation traffic is x in / a out.
+
+Batching follows the fused-MLP pattern (ops/fused_mlp.py): a custom_vmap
+rule maps the client axis onto the outer grid dimension so per-client
+weights stay single-copy in VMEM, and the weight gradients accumulate in
+f32 scratch across the (sequential) batch grid dimension, DMA-spilled to
+HBM on each client's last batch item.
+
+Constraints: embed_dim % 128 == 0 (dW DMA spill alignment) and
+head_dim >= 8; sequence length is free (197 and 40 both used).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _ln_fwd(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * inv
+    return xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32), \
+        xhat, inv
+
+
+def _heads_fwd(qkv, D, H, hd, scale, dtype):
+    outs = []
+    ps = []
+    for h in range(H):
+        q = qkv[:, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+        k = qkv[:, D + h * hd:D + (h + 1) * hd].astype(jnp.float32)
+        v = qkv[:, 2 * D + h * hd:2 * D + (h + 1) * hd].astype(dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True))
+        outs.append(jnp.dot(p.astype(dtype), v,
+                            preferred_element_type=jnp.float32))
+        ps.append(p)
+    return outs, ps
+
+
+def _make_fwd_kernel(H: int):
+    def kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+               bproj_ref, a_ref):
+        x = x_ref[0, 0]
+        N, D = x.shape
+        hd = D // H
+        dtype = x.dtype
+        hnorm, _, _ = _ln_fwd(x, lns_ref[0, 0], lnb_ref[0, 0])
+        h = hnorm.astype(dtype)
+        qkv = jnp.dot(h, wqkv_ref[0].astype(dtype),
+                      preferred_element_type=jnp.float32) \
+            + bqkv_ref[0, 0].astype(jnp.float32)
+        qkv = qkv.astype(dtype)
+        outs, _ = _heads_fwd(qkv, D, H, hd, hd ** -0.5, dtype)
+        cat = jnp.concatenate(outs, axis=1).astype(dtype)
+        a = jnp.dot(cat, wproj_ref[0].astype(dtype),
+                    preferred_element_type=jnp.float32) \
+            + bproj_ref[0, 0].astype(jnp.float32)
+        a_ref[0, 0] = a.astype(a_ref.dtype)
+
+    return kernel
+
+
+def _make_bwd_kernel(H: int):
+    def kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+               da_ref,
+               dx_ref, dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
+               dwproj_ref, dbproj_ref,
+               dlns_acc, dlnb_acc, dwqkv_acc, dbqkv_acc, dwproj_acc,
+               dbproj_acc, sems):
+        x = x_ref[0, 0]
+        N, D = x.shape
+        hd = D // H
+        scale = hd ** -0.5
+        dtype = x.dtype
+        da = da_ref[0, 0].astype(jnp.float32)
+        lns = lns_ref[0, 0].astype(jnp.float32)
+
+        # ---- recompute forward
+        hnorm, xhat, inv = _ln_fwd(x, lns_ref[0, 0], lnb_ref[0, 0])
+        h = hnorm.astype(dtype)
+        wqkv = wqkv_ref[0].astype(dtype)
+        qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32) \
+            + bqkv_ref[0, 0].astype(jnp.float32)
+        qkv = qkv.astype(dtype)
+        outs, ps = _heads_fwd(qkv, D, H, hd, scale, dtype)
+        cat = jnp.concatenate(outs, axis=1).astype(dtype)
+
+        # ---- projection backward
+        wproj = wproj_ref[0].astype(jnp.float32)
+        dwproj = jax.lax.dot_general(cat.astype(jnp.float32), da,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        dbproj = jnp.sum(da, axis=0, keepdims=True)
+        dcat = jax.lax.dot_general(da, wproj, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+        # ---- per-head attention backward
+        dqs, dks, dvs = [], [], []
+        for hh in range(H):
+            q = qkv[:, hh * hd:(hh + 1) * hd].astype(jnp.float32)
+            k = qkv[:, D + hh * hd:D + (hh + 1) * hd].astype(jnp.float32)
+            v = qkv[:, 2 * D + hh * hd:2 * D + (hh + 1) * hd].astype(jnp.float32)
+            p = ps[hh]
+            do = dcat[:, hh * hd:(hh + 1) * hd]
+            dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = p * (dp - delta)
+            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * scale
+            dqs.append(dq); dks.append(dk); dvs.append(dv)
+        dqkv = jnp.concatenate(
+            [jnp.concatenate(dqs, axis=1), jnp.concatenate(dks, axis=1),
+             jnp.concatenate(dvs, axis=1)], axis=1)      # [N, 3D]
+
+        # ---- qkv projection backward
+        dwqkv = jax.lax.dot_general(h.astype(jnp.float32), dqkv,
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
+        dh = jnp.dot(dqkv, wqkv.astype(jnp.float32).T,
+                     preferred_element_type=jnp.float32)
+
+        # ---- LayerNorm backward
+        dg = dh * lns
+        m1 = jnp.mean(dg, axis=-1, keepdims=True)
+        m2 = jnp.mean(dg * xhat, axis=-1, keepdims=True)
+        dx = inv * (dg - m1 - xhat * m2)
+        dlns = jnp.sum(dh * xhat, axis=0, keepdims=True)
+        dlnb = jnp.sum(dh, axis=0, keepdims=True)
+        dx_ref[0, 0] = dx.astype(dx_ref.dtype)
+
+        c = pl.program_id(0)
+        b = pl.program_id(1)
+        n_b = pl.num_programs(1)
+
+        @pl.when(b == 0)
+        def _init():
+            dlns_acc[...] = jnp.zeros_like(dlns_acc)
+            dlnb_acc[...] = jnp.zeros_like(dlnb_acc)
+            dwqkv_acc[...] = jnp.zeros_like(dwqkv_acc)
+            dbqkv_acc[...] = jnp.zeros_like(dbqkv_acc)
+            dwproj_acc[...] = jnp.zeros_like(dwproj_acc)
+            dbproj_acc[...] = jnp.zeros_like(dbproj_acc)
+
+        dlns_acc[...] += dlns
+        dlnb_acc[...] += dlnb
+        dwqkv_acc[...] += dwqkv
+        dbqkv_acc[...] += dbqkv
+        dwproj_acc[...] += dwproj
+        dbproj_acc[...] += dbproj
+
+        @pl.when(b == n_b - 1)
+        def _spill():
+            for j, (acc, ref) in enumerate([
+                    (dlns_acc, dlns_ref), (dlnb_acc, dlnb_ref),
+                    (dwqkv_acc, dwqkv_ref), (dbqkv_acc, dbqkv_ref),
+                    (dwproj_acc, dwproj_ref), (dbproj_acc, dbproj_ref)]):
+                dma = pltpu.make_async_copy(acc, ref.at[c], sems.at[j])
+                dma.start()
+                dma.wait()
+
+    return kernel
+
+
+# ------------------------------------------------------------ pallas calls --
+
+def _fwd_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj):
+    """x: [n, B, N, D]; lns/lnb: [n, 1, D]; wqkv: [n, D, 3D];
+    bqkv: [n, 1, 3D]; wproj: [n, D, D]; bproj: [n, 1, D]."""
+    n, B, N, D = x.shape
+    item = pl.BlockSpec((1, 1, N, D), lambda c, b: (c, b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    per_c = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda c, b: (c,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_fwd_kernel(H),
+        grid=(n, B),
+        in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, 3 * D)),
+                  per_c((1, 3 * D)), per_c((D, D)), per_c((1, D))],
+        out_specs=item,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * B * (N * D * 4 * D + 2 * N * N * D),
+            bytes_accessed=2 * n * B * N * D * x.dtype.itemsize,
+            transcendentals=n * B * H * N * N,
+        ),
+        interpret=_interpret(),
+    )(x, lns, lnb, wqkv, bqkv, wproj, bproj)
+
+
+def _bwd_call(H, x, lns, lnb, wqkv, bqkv, wproj, da):
+    n, B, N, D = x.shape
+    item = pl.BlockSpec((1, 1, N, D), lambda c, b: (c, b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    per_c = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda c, b: (c,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        _make_bwd_kernel(H),
+        grid=(n, B),
+        in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, 3 * D)),
+                  per_c((1, 3 * D)), per_c((D, D)), item],
+        out_specs=(item, any_spec, any_spec, any_spec, any_spec, any_spec,
+                   any_spec),
+        scratch_shapes=[pltpu.VMEM((1, D), f32), pltpu.VMEM((1, D), f32),
+                        pltpu.VMEM((D, 3 * D), f32),
+                        pltpu.VMEM((1, 3 * D), f32),
+                        pltpu.VMEM((D, D), f32), pltpu.VMEM((1, D), f32),
+                        pltpu.SemaphoreType.DMA((6,))],
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct((n, 1, D), f32),
+                   jax.ShapeDtypeStruct((n, 1, D), f32),
+                   jax.ShapeDtypeStruct((n, D, 3 * D), f32),
+                   jax.ShapeDtypeStruct((n, 1, 3 * D), f32),
+                   jax.ShapeDtypeStruct((n, D, D), f32),
+                   jax.ShapeDtypeStruct((n, 1, D), f32)),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * B * (N * D * 4 * D + 2 * N * N * D),
+            bytes_accessed=4 * n * B * N * D * x.dtype.itemsize,
+            transcendentals=2 * n * B * H * N * N,
+        ),
+        interpret=_interpret(),
+    )(x, lns, lnb, wqkv, bqkv, wproj, da)
+
+
+# ------------------------------------------------ custom_vmap + custom_vjp --
+
+def _batch_arg(a, batched, axis_size):
+    return a if batched else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+
+
+@functools.lru_cache(maxsize=8)
+def make_fused_attention_sublayer(num_heads: int):
+    """Returns fn(x[B,N,D], ln_scale[D], ln_bias[D], wqkv[D,3D], bqkv[3D],
+    wproj[D,D], bproj[D]) -> a[B,N,D], differentiable and client-vmappable."""
+    H = num_heads
+
+    @custom_vmap
+    def fwd_cv(x, lns, lnb, wqkv, bqkv, wproj, bproj):
+        return _fwd_call(H, x[None], lns[None], lnb[None], wqkv[None],
+                         bqkv[None], wproj[None], bproj[None])[0]
+
+    @fwd_cv.def_vmap
+    def _fwd_rule(axis_size, in_batched, *args):
+        args = [_batch_arg(a, b, axis_size)
+                for a, b in zip(args, in_batched)]
+        return _fwd_call(H, *args), True
+
+    @custom_vmap
+    def bwd_cv(x, lns, lnb, wqkv, bqkv, wproj, da):
+        outs = _bwd_call(H, x[None], lns[None], lnb[None], wqkv[None],
+                         bqkv[None], wproj[None], da[None])
+        return tuple(o[0] for o in outs)
+
+    @bwd_cv.def_vmap
+    def _bwd_rule(axis_size, in_batched, *args):
+        args = [_batch_arg(a, b, axis_size)
+                for a, b in zip(args, in_batched)]
+        return _bwd_call(H, *args), (True,) * 7
+
+    @jax.custom_vjp
+    def sublayer(x, lns, lnb, wqkv, bqkv, wproj, bproj):
+        return fwd_cv(x, lns.reshape(1, -1), lnb.reshape(1, -1), wqkv,
+                      bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1))
+
+    def vjp_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj):
+        out = fwd_cv(x, lns.reshape(1, -1), lnb.reshape(1, -1), wqkv,
+                     bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1))
+        return out, (x, lns, lnb, wqkv, bqkv, wproj, bproj)
+
+    def vjp_bwd(res, da):
+        x, lns, lnb, wqkv, bqkv, wproj, bproj = res
+        dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj = bwd_cv(
+            x, lns.reshape(1, -1), lnb.reshape(1, -1), wqkv,
+            bqkv.reshape(1, -1), wproj, da)
+        return (dx,
+                dlns.reshape(lns.shape).astype(lns.dtype),
+                dlnb.reshape(lnb.shape).astype(lnb.dtype),
+                dwqkv.astype(wqkv.dtype),
+                dbqkv.reshape(bqkv.shape).astype(bqkv.dtype),
+                dwproj.astype(wproj.dtype),
+                dbproj.reshape(bproj.shape).astype(bproj.dtype))
+
+    sublayer.defvjp(vjp_fwd, vjp_bwd)
+    return sublayer

@@ -187,10 +187,10 @@ def _bwd_call(x, w1, b1, w2, do):
         grid=(n, xp.shape[1] // R),
         in_specs=[row, per_c((D, Hd)), per_c((1, Hd)), per_c((Hd, D)), row],
         out_specs=(row,
-                   pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+                   pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[pltpu.VMEM((D, Hd), jnp.float32),
                         pltpu.VMEM((1, Hd), jnp.float32),
                         pltpu.VMEM((Hd, D), jnp.float32),

@@ -1,0 +1,78 @@
+"""Fused attention sublayer kernel vs plain reference math:
+forward + every gradient, unbatched and client-vmapped."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fedcola_tpu.ops.fused_attention import make_fused_attention_sublayer
+
+H, N, D = 2, 12, 16
+hd = D // H
+
+
+def _plain(x, lns, lnb, wqkv, bqkv, wproj, bproj):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+    h = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * lns + lnb
+    qkv = h @ wqkv + bqkv
+    B = x.shape[0]
+    qkv = qkv.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0] * hd ** -0.5, qkv[1], qkv[2]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    o = o.transpose(0, 2, 1, 3).reshape(B, N, D)
+    return o @ wproj + bproj
+
+
+def _args(seed=0, B=3):
+    rng = np.random.RandomState(seed)
+    return (jnp.asarray(rng.randn(B, N, D), jnp.float32),
+            jnp.asarray(rng.rand(D) + 0.5, jnp.float32),
+            jnp.asarray(rng.randn(D) * 0.1, jnp.float32),
+            jnp.asarray(rng.randn(D, 3 * D) * 0.2, jnp.float32),
+            jnp.asarray(rng.randn(3 * D) * 0.1, jnp.float32),
+            jnp.asarray(rng.randn(D, D) * 0.2, jnp.float32),
+            jnp.asarray(rng.randn(D) * 0.1, jnp.float32))
+
+
+def test_fused_attention_sublayer_fwd_bwd():
+    fn = make_fused_attention_sublayer(H)
+    args = _args()
+    out = fn(*args)
+    ref = _plain(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    do = jnp.asarray(np.random.RandomState(9).randn(3, N, D), jnp.float32)
+    g = jax.grad(lambda *a: jnp.sum(fn(*a) * do),
+                 argnums=tuple(range(7)))(*args)
+    gr = jax.grad(lambda *a: jnp.sum(_plain(*a) * do),
+                  argnums=tuple(range(7)))(*args)
+    names = ["dx", "dlns", "dlnb", "dwqkv", "dbqkv", "dwproj", "dbproj"]
+    for a, b, nm in zip(g, gr, names):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5, err_msg=nm)
+
+
+def test_fused_attention_sublayer_vmapped():
+    fn = make_fused_attention_sublayer(H)
+    n = 2
+    stacked = [jnp.stack([a * (1 + 0.1 * i) for i in range(n)])
+               for a in _args(seed=1)]
+
+    def loss_f(*a):
+        return jnp.sum(fn(*a) ** 2)
+
+    def loss_p(*a):
+        return jnp.sum(_plain(*a) ** 2)
+
+    lf, gf = jax.vmap(jax.value_and_grad(loss_f, argnums=(0, 3, 5)))(*stacked)
+    lp, gp = jax.vmap(jax.value_and_grad(loss_p, argnums=(0, 3, 5)))(*stacked)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lp), rtol=1e-4)
+    for a, b, nm in zip(gf, gp, ["dx", "dwqkv", "dwproj"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4, err_msg=nm)
