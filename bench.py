@@ -76,9 +76,10 @@ def main():
         base.update(img_size=32, embed_dim=16, depth=2, num_heads=2,
                     vocab_size=64, max_text_len=8)
 
-    # measured on v5e (n=2, B=96): fused attention + fused MLP Pallas
-    # kernels reach 1219 samples/s vs 1031 pure-XLA (full remat beats
-    # dots_saveable / save_attn policies in this HBM-bound regime).
+    # measured on v5e (n=2, B=96): the fused attention-sublayer
+    # (LN1+qkv+attn+proj) + fused MLP Pallas kernels reach 1629 samples/s
+    # vs 1031 pure-XLA bf16 and 1047 reference-style fp32 (full remat
+    # beats dots_saveable / save_attn policies in this HBM-bound regime).
     cfg_fast = MATConfig(use_pallas=on_tpu, use_fused_mlp=on_tpu,
                          compute_dtype="bfloat16", **base)
     cfg_ref = MATConfig(use_pallas=False, compute_dtype="float32", **base)
