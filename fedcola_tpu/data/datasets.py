@@ -53,6 +53,8 @@ class TaskDataset:
     image_ids: Optional[np.ndarray] = None       # retrieval: per caption
     ann_ids: Optional[np.ndarray] = None
     caption_index_of_image: Optional[np.ndarray] = None
+    _image_store: Optional[np.ndarray] = None    # materialize_images cache
+    _image_row: Optional[np.ndarray] = None
 
     @property
     def n_images(self) -> int:
@@ -61,18 +63,60 @@ class TaskDataset:
         return len(np.unique(self.image_ids))
 
     def load_images(self, indices: np.ndarray) -> np.ndarray:
-        """uint8 [len(indices), H, W, C]; decodes lazily when path-backed."""
+        """uint8 [len(indices), H, W, C]; decodes lazily when path-backed
+        (multi-threaded — PIL releases the GIL around jpeg decode)."""
+        if self._image_store is not None:
+            return self._image_store[self._image_row[indices]]
         if self.images is not None:
             return self.images[indices]
         assert self.image_paths is not None
         from PIL import Image
         size = self.image_size or 224
         out = np.zeros((len(indices), size, size, 3), np.uint8)
-        for j, i in enumerate(indices):
+
+        def decode(j, i):
             with Image.open(self.image_paths[int(i)]) as im:
-                im = im.convert("RGB").resize((size, size))
-                out[j] = np.asarray(im, np.uint8)
+                out[j] = np.asarray(im.convert("RGB").resize((size, size)),
+                                    np.uint8)
+
+        if len(indices) > 8:
+            import concurrent.futures
+            with concurrent.futures.ThreadPoolExecutor(16) as pool:
+                list(pool.map(lambda ji: decode(*ji), enumerate(indices)))
+        else:
+            for j, i in enumerate(indices):
+                decode(j, i)
         return out
+
+    def materialize_images(self, max_bytes: int = 16 << 30) -> bool:
+        """Decode the whole path-backed image set once (threaded) into an
+        in-memory uint8 array, turning every later epoch's gathers into pure
+        array indexing.  COCO-50k at 224px is ~7.5GB.  No-op if already
+        in-memory or above ``max_bytes``."""
+        if self.images is not None or self.image_paths is None:
+            return self.images is not None
+        # unique images only (retrieval sets repeat paths 5x per caption)
+        uniq = sorted(set(self.image_paths))
+        size = self.image_size or 224
+        need = len(uniq) * size * size * 3
+        if need > max_bytes:
+            return False
+        pos = {p: i for i, p in enumerate(uniq)}
+        store = np.zeros((len(uniq), size, size, 3), np.uint8)
+        from PIL import Image
+        import concurrent.futures
+
+        def decode(i, p):
+            with Image.open(p) as im:
+                store[i] = np.asarray(im.convert("RGB").resize((size, size)),
+                                      np.uint8)
+
+        with concurrent.futures.ThreadPoolExecutor(16) as pool:
+            list(pool.map(lambda ip: decode(*ip), enumerate(uniq)))
+        # dedup indirection: retrieval sets repeat each image 5x per caption
+        self._image_row = np.asarray([pos[p] for p in self.image_paths])
+        self._image_store = store
+        return True
 
 
 # ------------------------------------------------------------- synthetic ---

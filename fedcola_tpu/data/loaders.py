@@ -76,6 +76,12 @@ def load_federated_data(cfg: ExperimentConfig,
             kw["synthetic"] = True
             train = fetch_dataset(ds, root, True, **kw)
             test = fetch_dataset(ds, root, False, **kw)
+        for d in (train, test):
+            if d.image_paths is not None:
+                done = d.materialize_images()
+                logger.info("[LOAD] %s images %s", d.name,
+                            "materialized in RAM" if done
+                            else "decoded lazily (over RAM budget)")
         if ds not in out.server_eval:
             out.server_eval[ds] = test
 

@@ -49,7 +49,6 @@ from fedcola_tpu.data.pipeline import GroupFeeder, Prefetcher
 from fedcola_tpu.data.sampling import sample_clients
 from fedcola_tpu.federation import aggregate as agg
 from fedcola_tpu.federation.server import FedAvgServer, _broadcast_stack
-from fedcola_tpu.models import naming
 from fedcola_tpu.models.mat import mat_apply
 from fedcola_tpu.ops.losses import cross_entropy
 from fedcola_tpu.parallel.client_update import preprocess_images

@@ -28,7 +28,7 @@ import os
 import random
 import time
 from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +43,7 @@ from fedcola_tpu.eval import retrieval
 from fedcola_tpu.federation import aggregate as agg
 from fedcola_tpu.federation.aux import exchange_aux_weights, fold_aux_into_upload
 from fedcola_tpu.models import naming
-from fedcola_tpu.models.registry import build_mat_config, create_model
+from fedcola_tpu.models.registry import create_model
 from fedcola_tpu.parallel.client_update import (GroupSpec, build_eval_forward,
                                                 build_group_update)
 from fedcola_tpu.parallel.optim import make_optimizer_spec, init_opt_state
