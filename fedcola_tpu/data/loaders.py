@@ -71,8 +71,10 @@ def load_federated_data(cfg: ExperimentConfig,
             train = fetch_dataset(ds, root, True, **kw)
             test = fetch_dataset(ds, root, False, **kw)
         except (FileNotFoundError, OSError) as e:
-            logger.warning("dataset %s files missing under %s (%s); using "
-                           "synthetic stand-in", ds, root, e)
+            logger.warning("=== SYNTHETIC DATA === dataset %s files missing "
+                           "under %s (%s); training AND evaluation use a "
+                           "random stand-in — metrics are meaningless for "
+                           "accuracy comparisons", ds, root, e)
             kw["synthetic"] = True
             train = fetch_dataset(ds, root, True, **kw)
             test = fetch_dataset(ds, root, False, **kw)
