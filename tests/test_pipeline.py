@@ -1,0 +1,79 @@
+"""GroupFeeder semantics: step masks, partial batches, epoch reshuffling,
+debug truncation, augmentation shapes (pure host logic, no jit)."""
+
+import numpy as np
+
+from fedcola_tpu.data.datasets import fetch_synthetic
+from fedcola_tpu.data.pipeline import (AugmentSpec, ClientShard, GroupFeeder,
+                                       Prefetcher)
+
+
+def _shards():
+    ds = fetch_synthetic("MedicalAbstracts", "txt", "cls", 100, 5,
+                         seq_len=8, vocab_size=50, seed=0)
+    return [ClientShard(ds, np.arange(0, 37)),      # 37 samples
+            ClientShard(ds, np.arange(37, 100))]    # 63 samples
+
+
+def test_step_and_sample_masks():
+    feeder = GroupFeeder(_shards(), B=10, modality="txt", chunk_steps=3,
+                         shuffle=False)
+    # client 0: ceil(37/10)=4 steps (last batch 7 valid)
+    # client 1: ceil(63/10)=7 steps (last batch 3 valid) -> max_steps 7
+    assert list(feeder.steps_per_client) == [4, 7]
+    chunks = list(feeder.epoch_chunks())
+    assert sum(c["step_valid"].shape[1] for c in chunks) == 7
+    sv = np.concatenate([c["step_valid"] for c in chunks], axis=1)
+    assert sv[0].tolist() == [True] * 4 + [False] * 3
+    assert sv[1].tolist() == [True] * 7
+    valid = np.concatenate([c["valid"] for c in chunks], axis=1)
+    assert valid[0, 3].sum() == 7      # client 0 partial last batch
+    assert valid[1, 6].sum() == 3      # client 1 partial last batch
+    assert valid[0, 4:].sum() == 0     # padded steps fully masked
+    # every valid sample appears exactly once
+    xs = np.concatenate([c["x"] for c in chunks], axis=1)
+    seen = xs[0][valid[0]]
+    assert len(np.unique(seen, axis=0)) == 37
+
+
+def test_epochs_reshuffle():
+    feeder = GroupFeeder(_shards(), B=10, modality="txt", chunk_steps=8,
+                         shuffle=True, rng=np.random.RandomState(0))
+    e1 = np.concatenate([c["x"][1][c["valid"][1]][None]
+                         for c in feeder.epoch_chunks()], axis=0)
+    e2 = np.concatenate([c["x"][1][c["valid"][1]][None]
+                         for c in feeder.epoch_chunks()], axis=0)
+    assert not np.array_equal(e1, e2)              # different order
+    assert np.array_equal(np.sort(e1.reshape(-1, 8), axis=0),
+                          np.sort(e2.reshape(-1, 8), axis=0))  # same set
+
+
+def test_debug_two_batches():
+    """--debug truncates every client to 2 steps (fedavgclient.py:73-75)."""
+    feeder = GroupFeeder(_shards(), B=10, modality="txt", chunk_steps=8,
+                         debug_two_batches=True)
+    assert list(feeder.steps_per_client) == [2, 2]
+
+
+def test_full_batch_B0():
+    """B=0 -> full-batch training (main.py:263)."""
+    feeder = GroupFeeder(_shards(), B=0, modality="txt", chunk_steps=4)
+    assert feeder.B == 63
+    assert list(feeder.steps_per_client) == [1, 1]
+
+
+def test_augmentation_shapes_and_determinism():
+    ds = fetch_synthetic("CIFAR100", "img", "cls", 40, 10, img_hw=32, seed=1)
+    shards = [ClientShard(ds, np.arange(40))]
+    aug = AugmentSpec(crop=32, randhf=0.5)
+    feeder = GroupFeeder(shards, B=8, modality="img", chunk_steps=8,
+                         shuffle=False, rng=np.random.RandomState(3),
+                         aug=aug)
+    chunk = next(iter(feeder.epoch_chunks()))
+    assert chunk["x"].shape == (1, 5, 8, 32, 32, 3)
+    assert chunk["x"].dtype == np.uint8
+
+
+def test_prefetcher_preserves_order():
+    items = list(range(20))
+    assert list(Prefetcher(iter(items))) == items
