@@ -387,6 +387,14 @@ def check_args(cfg: ExperimentConfig) -> ExperimentConfig:
     if cfg.optimizer not in ("SGD", "Adam", "AdamW"):
         raise ValueError(f"Unsupported optimizer {cfg.optimizer!r}; "
                          "supported: SGD, Adam, AdamW")
+    known_criteria = {"CrossEntropyLoss", "BCEWithLogitsLoss",
+                      "PainlessBCEWithLogitsLoss", "Seq2SeqLoss",
+                      "ContrastiveLoss", "MCSoftContrastiveLoss", "SegLoss"}
+    if cfg.criterion not in known_criteria:
+        raise ValueError(f"Unsupported criterion {cfg.criterion!r}; "
+                         f"supported: {sorted(known_criteria)} "
+                         "(reference validates against torch.nn names, "
+                         "src/utils.py:212-230)")
     # broadcast per-dataset sampling fractions (fedavgserver.py:137-142)
     n_client_datasets = max(len(cfg.client_datasets), 1)
     if len(cfg.Cs) == 1:
