@@ -238,9 +238,11 @@ class CreamflServer(FedAvgServer):
         cfg, mcfg = self.cfg, self.model_cfgs[ds]
         spec = self._group_spec(ds)
         n = len(ids)
-        stacked = _broadcast_stack(self.global_params[ds], n)
+        n_pad = self._pad_to_mesh(n)
+        stacked = self._shard_clients(
+            _broadcast_stack(self.global_params[ds], n_pad))
         opt_state = init_opt_state(self.opt_spec, stacked)
-        opt_state["t"] = jnp.zeros((n,), jnp.int32)
+        opt_state["t"] = jnp.zeros((n_pad,), jnp.int32)
         update_fn = build_group_update(mcfg, spec, self.opt_spec,
                                        self._frozen_token(ds, spec.modality))
         pub_fn = self._build_pub_update(ds)
@@ -256,19 +258,25 @@ class CreamflServer(FedAvgServer):
         loss_sums = np.zeros(n); cor = np.zeros(n); cnt = np.zeros(n)
         for _ in range(cfg.E):
             for chunk in Prefetcher(feeder.epoch_chunks()):
+                if n_pad != n:
+                    chunk = {k2: np.concatenate(
+                        [v, np.zeros((n_pad - n,) + v.shape[1:], v.dtype)])
+                        for k2, v in chunk.items()}
+                chunk = self._shard_clients(
+                    {k2: jnp.asarray(v) for k2, v in chunk.items()})
                 self.key, k = jax.random.split(self.key)
-                rngs = jax.random.split(k, n)
+                rngs = self._shard_clients(jax.random.split(k, n_pad))
                 stacked, opt_state, (ls, cs, ns) = update_fn(
                     stacked, opt_state, chunk, rngs,
                     jnp.float32(self.curr_lr), gp)
-                ns_np = np.asarray(ns, np.float64)
-                loss_sums += (np.asarray(ls, np.float64) * ns_np).sum(1)
-                cor += np.asarray(cs, np.float64).sum(1)
+                ns_np = np.asarray(ns, np.float64)[:n]
+                loss_sums += (np.asarray(ls, np.float64)[:n] * ns_np).sum(1)
+                cor += np.asarray(cs, np.float64)[:n].sum(1)
                 cnt += ns_np.sum(1)
             if do_pub:
                 for b in self._pub_batches():
                     self.key, k = jax.random.split(self.key)
-                    rngs = jax.random.split(k, n)
+                    rngs = self._shard_clients(jax.random.split(k, n_pad))
                     stacked, opt_state, _ = pub_fn(
                         stacked, opt_state, gp, b, self.g_img, self.g_txt,
                         rngs, jnp.float32(self.curr_lr))
@@ -377,7 +385,9 @@ class CreamflServer(FedAvgServer):
             vecs = jnp.stack([self._pub_feats[i] for i in txt_ids])
             txt_vec = self._contrastive_weighted(vecs, self.g_img)
 
-        group_members = {ds: ids for ds, ids in groups.items()}
+        group_members = {ds: ids + [-1] * (self._pad_to_mesh(len(ids))
+                                           - len(ids))
+                         for ds, ids in groups.items()}
         client_cfgs = {ds: self.model_cfgs[ds] for ds in groups}
         exp_modalities = cfg.modalities or [DATASET_2_MODALITY[d]
                                             for d in cfg.client_datasets]
