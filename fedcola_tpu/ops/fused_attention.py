@@ -62,42 +62,79 @@ def _heads_fwd(qkv, D, H, hd, scale, dtype):
     return outs, ps
 
 
-def _make_fwd_kernel(H: int):
+def _make_fwd_kernel(H: int, IB: int):
     def kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                bproj_ref, a_ref):
-        x = x_ref[0, 0]
-        N, D = x.shape
-        hd = D // H
-        dtype = x.dtype
-        hnorm, _, _ = _ln_fwd(x, lns_ref[0, 0], lnb_ref[0, 0])
-        h = hnorm.astype(dtype)
-        qkv = jnp.dot(h, wqkv_ref[0].astype(dtype),
-                      preferred_element_type=jnp.float32) \
-            + bqkv_ref[0, 0].astype(jnp.float32)
-        qkv = qkv.astype(dtype)
-        outs, _ = _heads_fwd(qkv, D, H, hd, hd ** -0.5, dtype)
-        cat = jnp.concatenate(outs, axis=1).astype(dtype)
-        a = jnp.dot(cat, wproj_ref[0].astype(dtype),
-                    preferred_element_type=jnp.float32) \
-            + bproj_ref[0, 0].astype(jnp.float32)
-        a_ref[0, 0] = a.astype(a_ref.dtype)
+        for i in range(IB):
+            x = x_ref[0, i]
+            N, D = x.shape
+            hd = D // H
+            dtype = x.dtype
+            hnorm, _, _ = _ln_fwd(x, lns_ref[0, 0], lnb_ref[0, 0])
+            h = hnorm.astype(dtype)
+            qkv = jnp.dot(h, wqkv_ref[0].astype(dtype),
+                          preferred_element_type=jnp.float32) \
+                + bqkv_ref[0, 0].astype(jnp.float32)
+            qkv = qkv.astype(dtype)
+            outs, _ = _heads_fwd(qkv, D, H, hd, hd ** -0.5, dtype)
+            cat = jnp.concatenate(outs, axis=1).astype(dtype)
+            a = jnp.dot(cat, wproj_ref[0].astype(dtype),
+                        preferred_element_type=jnp.float32) \
+                + bproj_ref[0, 0].astype(jnp.float32)
+            a_ref[0, i] = a.astype(a_ref.dtype)
 
     return kernel
 
 
-def _make_bwd_kernel(H: int):
+def _make_bwd_kernel(H: int, IB: int):
     def kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                da_ref,
                dx_ref, dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
                dwproj_ref, dbproj_ref,
                dlns_acc, dlnb_acc, dwqkv_acc, dbqkv_acc, dwproj_acc,
                dbproj_acc, sems):
-        x = x_ref[0, 0]
+        c = pl.program_id(0)
+        b = pl.program_id(1)
+        n_b = pl.num_programs(1)
+
+        @pl.when(b == 0)
+        def _init():
+            dlns_acc[...] = jnp.zeros_like(dlns_acc)
+            dlnb_acc[...] = jnp.zeros_like(dlnb_acc)
+            dwqkv_acc[...] = jnp.zeros_like(dwqkv_acc)
+            dbqkv_acc[...] = jnp.zeros_like(dbqkv_acc)
+            dwproj_acc[...] = jnp.zeros_like(dwproj_acc)
+            dbproj_acc[...] = jnp.zeros_like(dbproj_acc)
+
+        for item in range(IB):
+            _bwd_one(H, x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                     wproj_ref, da_ref, dx_ref, item,
+                     dlns_acc, dlnb_acc, dwqkv_acc, dbqkv_acc, dwproj_acc,
+                     dbproj_acc)
+
+        @pl.when(b == n_b - 1)
+        def _spill():
+            for j, (acc, ref) in enumerate([
+                    (dlns_acc, dlns_ref), (dlnb_acc, dlnb_ref),
+                    (dwqkv_acc, dwqkv_ref), (dbqkv_acc, dbqkv_ref),
+                    (dwproj_acc, dwproj_ref), (dbproj_acc, dbproj_ref)]):
+                dma = pltpu.make_async_copy(acc, ref.at[c], sems.at[j])
+                dma.start()
+                dma.wait()
+
+    return kernel
+
+
+def _bwd_one(H, x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+             da_ref, dx_ref, item,
+             dlns_acc, dlnb_acc, dwqkv_acc, dbqkv_acc, dwproj_acc,
+             dbproj_acc):
+        x = x_ref[0, item]
         N, D = x.shape
         hd = D // H
         scale = hd ** -0.5
         dtype = x.dtype
-        da = da_ref[0, 0].astype(jnp.float32)
+        da = da_ref[0, item].astype(jnp.float32)
         lns = lns_ref[0, 0].astype(jnp.float32)
 
         # ---- recompute forward
@@ -156,20 +193,7 @@ def _make_bwd_kernel(H: int):
         dx = inv * (dg - m1 - xhat * m2)
         dlns = jnp.sum(dh * xhat, axis=0, keepdims=True)
         dlnb = jnp.sum(dh, axis=0, keepdims=True)
-        dx_ref[0, 0] = dx.astype(dx_ref.dtype)
-
-        c = pl.program_id(0)
-        b = pl.program_id(1)
-        n_b = pl.num_programs(1)
-
-        @pl.when(b == 0)
-        def _init():
-            dlns_acc[...] = jnp.zeros_like(dlns_acc)
-            dlnb_acc[...] = jnp.zeros_like(dlnb_acc)
-            dwqkv_acc[...] = jnp.zeros_like(dwqkv_acc)
-            dbqkv_acc[...] = jnp.zeros_like(dbqkv_acc)
-            dwproj_acc[...] = jnp.zeros_like(dwproj_acc)
-            dbproj_acc[...] = jnp.zeros_like(dbproj_acc)
+        dx_ref[0, item] = dx.astype(dx_ref.dtype)
 
         dlns_acc[...] += dlns
         dlnb_acc[...] += dlnb
@@ -178,33 +202,29 @@ def _make_bwd_kernel(H: int):
         dwproj_acc[...] += dwproj
         dbproj_acc[...] += dbproj
 
-        @pl.when(b == n_b - 1)
-        def _spill():
-            for j, (acc, ref) in enumerate([
-                    (dlns_acc, dlns_ref), (dlnb_acc, dlnb_ref),
-                    (dwqkv_acc, dwqkv_ref), (dbqkv_acc, dbqkv_ref),
-                    (dwproj_acc, dwproj_ref), (dbproj_acc, dbproj_ref)]):
-                dma = pltpu.make_async_copy(acc, ref.at[c], sems.at[j])
-                dma.start()
-                dma.wait()
-
-    return kernel
-
 
 # ------------------------------------------------------------ pallas calls --
+
+def _items_per_program(B: int, N: int, D: int) -> int:
+    """Amortise grid overhead: 2 items/program when VMEM allows and B is
+    even (the [N,3D] qkv + per-head score tiles are the budget)."""
+    per_item = N * 3 * D * 4 * 2 + 3 * N * N * 4
+    return 2 if (B % 2 == 0 and 2 * per_item < 8 * 1024 * 1024) else 1
+
 
 def _fwd_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj):
     """x: [n, B, N, D]; lns/lnb: [n, 1, D]; wqkv: [n, D, 3D];
     bqkv: [n, 1, 3D]; wproj: [n, D, D]; bproj: [n, 1, D]."""
     n, B, N, D = x.shape
-    item = pl.BlockSpec((1, 1, N, D), lambda c, b: (c, b, 0, 0),
+    IB = _items_per_program(B, N, D)
+    item = pl.BlockSpec((1, IB, N, D), lambda c, b: (c, b, 0, 0),
                         memory_space=pltpu.VMEM)
     per_c = lambda shape: pl.BlockSpec(
         (1,) + shape, lambda c, b: (c,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_fwd_kernel(H),
-        grid=(n, B),
+        _make_fwd_kernel(H, IB),
+        grid=(n, B // IB),
         in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, 3 * D)),
                   per_c((1, 3 * D)), per_c((D, D)), per_c((1, D))],
         out_specs=item,
@@ -220,7 +240,8 @@ def _fwd_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj):
 
 def _bwd_call(H, x, lns, lnb, wqkv, bqkv, wproj, da):
     n, B, N, D = x.shape
-    item = pl.BlockSpec((1, 1, N, D), lambda c, b: (c, b, 0, 0),
+    IB = _items_per_program(B, N, D)
+    item = pl.BlockSpec((1, IB, N, D), lambda c, b: (c, b, 0, 0),
                         memory_space=pltpu.VMEM)
     per_c = lambda shape: pl.BlockSpec(
         (1,) + shape, lambda c, b: (c,) + (0,) * len(shape),
@@ -228,8 +249,8 @@ def _bwd_call(H, x, lns, lnb, wqkv, bqkv, wproj, da):
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     f32 = jnp.float32
     return pl.pallas_call(
-        _make_bwd_kernel(H),
-        grid=(n, B),
+        _make_bwd_kernel(H, IB),
+        grid=(n, B // IB),
         in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, 3 * D)),
                   per_c((1, 3 * D)), per_c((D, D)), item],
         out_specs=(item, any_spec, any_spec, any_spec, any_spec, any_spec,

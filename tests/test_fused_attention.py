@@ -41,13 +41,13 @@ def _args(seed=0, B=3):
 
 def test_fused_attention_sublayer_fwd_bwd():
     fn = make_fused_attention_sublayer(H)
-    args = _args()
+    args = _args(B=4)   # even B exercises the 2-items-per-program path
     out = fn(*args)
     ref = _plain(*args)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
 
-    do = jnp.asarray(np.random.RandomState(9).randn(3, N, D), jnp.float32)
+    do = jnp.asarray(np.random.RandomState(9).randn(4, N, D), jnp.float32)
     g = jax.grad(lambda *a: jnp.sum(fn(*a) * do),
                  argnums=tuple(range(7)))(*args)
     gr = jax.grad(lambda *a: jnp.sum(_plain(*a) * do),
