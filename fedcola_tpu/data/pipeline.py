@@ -165,7 +165,10 @@ class GroupFeeder:
 
 class Prefetcher:
     """One-deep background prefetch: overlap host gather/decode with device
-    compute."""
+    compute.  Feeder exceptions (decode errors, bad index maps) are carried
+    across the thread boundary and re-raised in the consumer, so a failing
+    data pipeline aborts the round instead of silently truncating the
+    epoch."""
 
     def __init__(self, it: Iterator, depth: int = 2):
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
@@ -178,8 +181,9 @@ class Prefetcher:
         try:
             for item in self.it:
                 self.q.put(item)
-        finally:
             self.q.put(self._sentinel)
+        except BaseException as e:  # noqa: BLE001 — re-raised in __next__
+            self.q.put(e)
 
     def __iter__(self):
         return self
@@ -187,5 +191,9 @@ class Prefetcher:
     def __next__(self):
         item = self.q.get()
         if item is self._sentinel:
+            self.thread.join()
             raise StopIteration
+        if isinstance(item, BaseException):
+            self.thread.join()
+            raise item
         return item

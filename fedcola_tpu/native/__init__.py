@@ -14,6 +14,7 @@ from __future__ import annotations
 import hashlib
 import logging
 import os
+import platform
 import subprocess
 
 logger = logging.getLogger(__name__)
@@ -21,12 +22,36 @@ logger = logging.getLogger(__name__)
 _DIR = os.path.dirname(os.path.abspath(__file__))
 
 
+def _host_tag() -> str:
+    """Host/ISA fingerprint for the build cache: sources are compiled with
+    ``-march=native``, so a .so built on one machine must never be dlopen'd
+    on another (SIGILL risk on CPUs lacking the build host's extensions)."""
+    parts = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo", encoding="utf-8", errors="replace") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.split(":", 1)[1].strip())
+                    break
+    except OSError:
+        pass
+    try:
+        gxx = subprocess.run(["g++", "-dumpfullversion", "-dumpversion"],
+                             capture_output=True, timeout=10, text=True)
+        parts.append(gxx.stdout.strip())
+    except Exception:
+        pass
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
 def build_library(src_name: str) -> str | None:
-    """Compile ``src_name`` to a cached .so; returns path or None."""
+    """Compile ``src_name`` to a cached .so; returns path or None.  The
+    cache name includes both the source digest and a host/ISA tag, and the
+    cache files are gitignored (never committed binaries)."""
     src = os.path.join(_DIR, src_name)
     with open(src, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    out = os.path.join(_DIR, f".{src_name}.{digest}.so")
+    out = os.path.join(_DIR, f".{src_name}.{digest}.{_host_tag()}.so")
     if os.path.exists(out):
         return out
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",

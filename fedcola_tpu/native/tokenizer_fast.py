@@ -41,11 +41,25 @@ def _load():
 
 
 def _vocab_handle(tok) -> int:
-    key = id(tok)
+    """Native vocab handle, cached by *content* (a digest of the id->token
+    mapping), never by object identity — two tokenizers with the same vocab
+    share one handle, and a GC'd tokenizer can't alias a new object into the
+    wrong handle.  Handles live for the process (bounded by the number of
+    distinct vocabs, which is tiny: one per dataset family)."""
+    import hashlib
+    items = sorted(tok.vocab.items(), key=lambda kv: kv[1])
+    # Serialize with explicit gap placeholders: vocab files may contain
+    # blank lines (from_vocab_file skips them but keeps line-number ids),
+    # so line i of the blob must be the token with id i or empty — wp_build
+    # increments the id for empty lines without inserting a token.
+    max_id = items[-1][1] if items else -1
+    lines = [""] * (max_id + 1)
+    for token, idx in items:
+        lines[idx] = token
+    blob = "\n".join(lines).encode("utf-8")
+    key = hashlib.sha256(blob).hexdigest()
     if key not in _handles:
         lib = _load()
-        items = sorted(tok.vocab.items(), key=lambda kv: kv[1])
-        blob = "\n".join(k for k, _ in items).encode("utf-8")
         _handles[key] = ctypes.c_void_p(lib.wp_build(blob, len(blob)))
     return _handles[key]
 

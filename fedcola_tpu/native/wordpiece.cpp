@@ -37,7 +37,11 @@ inline bool is_space(unsigned char c) {
   return c == ' ' || c == '\t' || c == '\n' || c == '\r';
 }
 
-inline bool is_control(unsigned char c) { return c < 32 && !is_space(c); }
+// 0x7F (DEL) passes str.isascii() on the Python side but is a Unicode
+// control char there — treat it as control here too so both paths drop it.
+inline bool is_control(unsigned char c) {
+  return (c < 32 || c == 127) && !is_space(c);
+}
 
 // Greedy longest-match-first WordPiece over one lower-cased word.
 void wordpiece(const Vocab& v, const std::string& word, int32_t unk,

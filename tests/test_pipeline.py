@@ -77,3 +77,20 @@ def test_augmentation_shapes_and_determinism():
 def test_prefetcher_preserves_order():
     items = list(range(20))
     assert list(Prefetcher(iter(items))) == items
+
+
+def test_prefetcher_propagates_feeder_exceptions():
+    """A feeder crash must abort the consumer, not truncate the epoch."""
+    def gen():
+        yield 1
+        yield 2
+        raise ValueError("decode failed")
+
+    pf = Prefetcher(gen())
+    got = []
+    import pytest
+    with pytest.raises(ValueError, match="decode failed"):
+        for item in pf:
+            got.append(item)
+    assert got == [1, 2]
+    assert not pf.thread.is_alive()

@@ -59,6 +59,26 @@ def test_native_matches_python():
     np.testing.assert_array_equal(fast, slow)
 
 
+def test_native_handles_vocab_gaps_and_del_char(tmp_path):
+    """Regression: vocab.txt blank lines create id gaps (line-number ids),
+    and DEL (0x7F) is ASCII but must be dropped as a control char on the
+    native path exactly like the Python path."""
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text(
+        "[PAD]\n[UNK]\n[CLS]\n[SEP]\n\nhello\n\nworld\n##d\nhel\n##lo\n")
+    tok = WordPieceTokenizer.from_vocab_file(str(vocab_file))
+    assert tok.vocab["hello"] == 5 and tok.vocab["world"] == 7
+    texts = ["hello world", "hel\x7flo world", "hello worl\x7fd"]
+    try:
+        from fedcola_tpu.native import tokenizer_fast
+        fast = tokenizer_fast.encode_batch(tok, texts, 8)
+    except RuntimeError:
+        pytest.skip("native toolchain unavailable")
+    slow = np.stack([tok.encode(t, 8) for t in texts])
+    np.testing.assert_array_equal(fast, slow)
+    assert fast[0, 1] == 5 and fast[0, 2] == 7  # line-number ids, not dense
+
+
 def test_truncation_and_padding():
     tok = WordPieceTokenizer.synthetic(100)
     ids = tok.encode("x " * 100, max_length=10)
