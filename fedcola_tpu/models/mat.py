@@ -71,10 +71,9 @@ class MATConfig:
     aux_attn_only: bool = False
     aux_mlp_only: bool = False
     use_pallas: bool = True
-    # fused MLP kernel: wins for single-model programs (eval, distillation)
-    # but under client-vmapped training the weight blocks replicate per
-    # client inside VMEM and the dW accumulators OOM the 16MB budget —
-    # keep off for vmapped paths (see ops/fused_mlp.py)
+    # fused MLP pallas kernel (ops/fused_mlp.py): safe under client-vmapped
+    # training too — its custom_vmap rule makes the client axis an outer
+    # grid dimension, so weights don't replicate inside VMEM
     use_fused_mlp: bool = False
     compute_dtype: str = "bfloat16"
     remat: bool = True  # rematerialise block activations in the backward pass

@@ -137,9 +137,16 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
     (hashable stand-in for the mask pytree)."""
 
     def make_frozen_mask(params):
-        if not frozen_token:
+        frozen_set = set(frozen_token or ())
+        # aux_trained=False freezes the aux weights while keeping the
+        # cross_modal_scale trainable (reference mome.py:47-53: the
+        # CrossModalReparamLinear calls aux_weight.requires_grad_(False);
+        # wired via build_aux at mome.py:786)
+        if cfg.has_aux and not cfg.aux_trained:
+            for kind in cfg.aux_layer_kinds:
+                frozen_set.add(("aux", f"{kind}_aux"))
+        if not frozen_set:
             return None
-        frozen_set = set(frozen_token)
 
         def walk(node, path):
             if isinstance(node, dict):

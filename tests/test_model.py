@@ -77,6 +77,54 @@ def test_aux_nonzero_scale_changes_forward():
     assert not np.allclose(o1, o2)
 
 
+@pytest.mark.parametrize("aux_trained", [False, True])
+def test_aux_trained_flag_freezes_aux_weights(aux_trained):
+    """aux_trained=False freezes aux weights but keeps cross_modal_scale
+    trainable (reference mome.py:47-53: aux_weight.requires_grad_(False),
+    wired at mome.py:786).  Round 1 shipped a silent divergence here: aux
+    weights always received gradients."""
+    from fedcola_tpu.parallel.client_update import (GroupSpec,
+                                                    build_group_update)
+    from fedcola_tpu.parallel.optim import OptimizerSpec, init_opt_state
+
+    cfg = IMG_ONLY.replace(with_aux=True, aux_trained=aux_trained)
+    params = init_mat(cfg, jax.random.PRNGKey(0))
+    # nonzero scales so aux weights get nonzero grads when trainable
+    for kind in cfg.aux_layer_kinds:
+        params["aux"][f"{kind}_scale"] = (
+            params["aux"][f"{kind}_scale"] + 0.3)
+    n = 1
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n,) + x.shape) + 0, params)
+    opt = OptimizerSpec(name="AdamW")
+    opt_state = init_opt_state(opt, stacked)
+    opt_state["t"] = jnp.zeros((n,), jnp.int32)
+    spec = GroupSpec(modality="img", criterion="CrossEntropyLoss")
+    update = build_group_update(cfg, spec, opt, None)
+    rng = np.random.RandomState(0)
+    chunk = {
+        "x": rng.randint(0, 255, (n, 2, 4, 32, 32, 3)).astype(np.uint8),
+        "y": rng.randint(0, 10, (n, 2, 4)).astype(np.int32),
+        "valid": np.ones((n, 2, 4), bool),
+        "step_valid": np.ones((n, 2), bool),
+    }
+    rngs = jax.random.split(jax.random.PRNGKey(1), n)
+    new_params, _, _ = update(stacked, opt_state,
+                              {k: jnp.asarray(v) for k, v in chunk.items()},
+                              rngs, jnp.float32(1e-2), params)
+    for kind in cfg.aux_layer_kinds:
+        aux_moved = not np.allclose(np.asarray(new_params["aux"][f"{kind}_aux"][0]),
+                                    np.asarray(params["aux"][f"{kind}_aux"]))
+        scale_moved = not np.allclose(
+            np.asarray(new_params["aux"][f"{kind}_scale"][0]),
+            np.asarray(params["aux"][f"{kind}_scale"]))
+        assert aux_moved == aux_trained, (kind, aux_trained)
+        assert scale_moved, kind
+    # main weights always train
+    assert not np.allclose(np.asarray(new_params["blk"]["0"]["qkv_kernel"][0]),
+                           np.asarray(params["blk"]["0"]["qkv_kernel"]))
+
+
 def test_colearn_attn_ties_stacks():
     """colearn_param='attn' shares attention between modalities
     (mome.py:837-841)."""
