@@ -107,7 +107,13 @@ def compute_coefficients(
     unfiltered total)."""
     coefficients: Dict[str, Dict[int, float]] = {}
     # loop-variable leak (fedavgserver.py:648): `identifier` holds the last
-    # iterated updated_sizes key after each name's inner loop.
+    # iterated updated_sizes key after each name's inner loop.  In the
+    # reference that dict is built from a ChainMap over thread results, so
+    # *which* client leaks is iteration-order-dependent (thread completion
+    # order) and not reproducible; we pin the leak deterministically to the
+    # largest sampled id.  Exact bit-parity with a given reference run on the
+    # compensation+share_scope=modality_exact path is therefore approximate
+    # by construction — the reference itself is not self-reproducible here.
     leak_id = sorted_ids[-1] if sorted_ids else None
 
     for name in required_names:

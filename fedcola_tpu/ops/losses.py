@@ -65,13 +65,18 @@ def painless_bce(logits: jnp.ndarray, targets: jnp.ndarray,
 
 
 def seq2seq_ce(logits: jnp.ndarray, targets: jnp.ndarray,
+               valid: Optional[jnp.ndarray] = None,
                ignore_index: int = -1) -> jnp.ndarray:
     """CE over [B, L, V] logits vs [B, L] targets, ignoring `ignore_index`
-    (reference src/utils.py:303-315)."""
+    (reference src/utils.py:303-315).  ``valid`` masks padded batch rows
+    (drop_last=False parity): their tokens are excluded from the mean even
+    though the padding duplicates real token ids."""
     B, L, V = logits.shape
     flat_logits = logits.reshape(B * L, V).astype(jnp.float32)
     flat_t = targets.reshape(B * L)
     keep = (flat_t != ignore_index)
+    if valid is not None:
+        keep = keep & jnp.repeat(valid, L)
     logp = jax.nn.log_softmax(flat_logits, axis=-1)
     safe_t = jnp.where(keep, flat_t, 0).astype(jnp.int32)
     nll = -jnp.take_along_axis(logp, safe_t[:, None], axis=-1)[:, 0]
@@ -109,6 +114,7 @@ def clip_contrastive(img_emb: jnp.ndarray, txt_emb: jnp.ndarray,
 
 
 def dice_loss(probs: jnp.ndarray, onehot: jnp.ndarray,
+              valid: Optional[jnp.ndarray] = None,
               eps: float = 1e-7) -> jnp.ndarray:
     """Dice loss over [B, ...] probability maps
     (reference segmentation_loss.py:9-32)."""
@@ -117,22 +123,28 @@ def dice_loss(probs: jnp.ndarray, onehot: jnp.ndarray,
     t = onehot.reshape(B, -1)
     inter = jnp.sum(p * t, axis=1)
     union = jnp.sum(p, axis=1) + jnp.sum(t, axis=1)
-    return jnp.mean(1.0 - 2.0 * inter / (union + eps))
+    return _masked_mean(1.0 - 2.0 * inter / (union + eps), valid)
 
 
 def seg_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+             valid: Optional[jnp.ndarray] = None,
              weight_ce: float = 0.5, weight_dice: float = 0.5) -> jnp.ndarray:
     """CE + Dice combination (reference ``SegLoss``,
     segmentation_loss.py:35-50).  logits: [B, C, ...], targets: [B, ...]
-    integer labels (the reference indexes target[:, 0])."""
-    C = logits.shape[1]
+    integer labels (the reference indexes target[:, 0]).  ``valid`` masks
+    padded batch rows in both terms."""
+    B, C = logits.shape[0], logits.shape[1]
     flat_logits = jnp.moveaxis(logits, 1, -1).reshape(-1, C)
     t = targets[:, 0] if targets.ndim == logits.ndim else targets
     flat_t = t.reshape(-1).astype(jnp.int32)
-    ce = cross_entropy(flat_logits, flat_t)
+    ce_valid = None
+    if valid is not None:
+        per_row = flat_t.shape[0] // B
+        ce_valid = jnp.repeat(valid, per_row)
+    ce = cross_entropy(flat_logits, flat_t, ce_valid)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
     onehot = jax.nn.one_hot(t, C, axis=1, dtype=jnp.float32)
-    return weight_ce * ce + weight_dice * dice_loss(probs, onehot)
+    return weight_ce * ce + weight_dice * dice_loss(probs, onehot, valid)
 
 
 def mc_soft_contrastive(img_emb: jnp.ndarray, txt_emb: jnp.ndarray,

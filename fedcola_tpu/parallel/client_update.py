@@ -81,7 +81,8 @@ def _cls_criterion(name: str):
         "CrossEntropyLoss": losses.cross_entropy,
         "PainlessBCEWithLogitsLoss": losses.painless_bce,
         "BCEWithLogitsLoss": losses.painless_bce,
-        "Seq2SeqLoss": lambda lg, y, v=None: losses.seq2seq_ce(lg, y),
+        "Seq2SeqLoss": losses.seq2seq_ce,
+        "SegLoss": losses.seg_loss,
     }[name]
 
 
@@ -91,6 +92,14 @@ def _mm_criterion(name: str):
         "ContrastiveLoss": losses.clip_contrastive,
         "MCSoftContrastiveLoss": losses.mc_soft_contrastive,
     }[name]
+
+
+def _count_correct(logits, y, valid):
+    """Valid-row correct count; supports [B, C] and [B, L, V] logits."""
+    hits = jnp.argmax(logits, -1) == y
+    if hits.ndim > valid.ndim:
+        valid = valid[:, None]
+    return jnp.sum(hits & valid)
 
 
 def _local_loss(cfg: MATConfig, spec: GroupSpec, params, batch,
@@ -104,13 +113,13 @@ def _local_loss(cfg: MATConfig, spec: GroupSpec, params, batch,
         ins[spec.img_slot] = x
         logits = mat_apply(cfg, params, ins, train=True, rng=rng)[spec.img_slot]
         loss = _cls_criterion(spec.criterion)(logits, batch["y"], valid)
-        correct = jnp.sum((jnp.argmax(logits, -1) == batch["y"]) & valid)
+        correct = _count_correct(logits, batch["y"], valid)
     elif spec.modality == "txt":
         ins = [None] * len(cfg.modalities)
         ins[spec.txt_slot] = batch["x"]
         logits = mat_apply(cfg, params, ins, train=True, rng=rng)[spec.txt_slot]
         loss = _cls_criterion(spec.criterion)(logits, batch["y"], valid)
-        correct = jnp.sum((jnp.argmax(logits, -1) == batch["y"]) & valid)
+        correct = _count_correct(logits, batch["y"], valid)
     elif spec.modality == "img+txt":
         img = preprocess_images(batch["x"], spec, dtype)
         ins = [None] * len(cfg.modalities)

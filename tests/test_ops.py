@@ -142,3 +142,38 @@ def test_grad_clip_matches_torch():
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(ours["b"]), t2.grad.numpy(),
                                rtol=1e-4)
+
+
+def test_seq2seq_ce_masks_padded_rows():
+    """Padded partial-batch rows must not bias the token mean
+    (drop_last=False parity: padding duplicates real rows)."""
+    import torch
+    from fedcola_tpu.ops.losses import seq2seq_ce
+    rng = np.random.RandomState(0)
+    B, L, V = 4, 5, 7
+    logits = rng.randn(B, L, V).astype(np.float32)
+    targets = rng.randint(0, V, (B, L))
+    targets[1, 3:] = -1                      # some ignored tokens
+    valid = np.array([True, True, True, False])
+    ours = float(seq2seq_ce(jnp.asarray(logits), jnp.asarray(targets),
+                            jnp.asarray(valid)))
+    ref = torch.nn.functional.cross_entropy(
+        torch.tensor(logits[:3]).reshape(-1, V),
+        torch.tensor(targets[:3]).reshape(-1), ignore_index=-1)
+    np.testing.assert_allclose(ours, float(ref), rtol=1e-5)
+
+
+def test_seg_loss_dispatchable_and_masked():
+    """SegLoss is reachable from the training dispatch (check_args accepts
+    it) and the valid mask drops padded rows from both CE and Dice terms."""
+    from fedcola_tpu.ops.losses import seg_loss
+    from fedcola_tpu.parallel.client_update import _cls_criterion
+    fn = _cls_criterion("SegLoss")
+    rng = np.random.RandomState(1)
+    logits = rng.randn(4, 6).astype(np.float32)
+    y = rng.randint(0, 6, (4,))
+    valid = np.array([True, True, True, False])
+    masked = float(fn(jnp.asarray(logits), jnp.asarray(y),
+                      jnp.asarray(valid)))
+    unpadded = float(seg_loss(jnp.asarray(logits[:3]), jnp.asarray(y[:3])))
+    np.testing.assert_allclose(masked, unpadded, rtol=1e-5)
