@@ -33,11 +33,17 @@ from fedcola_tpu.parallel.client_update import GroupSpec, build_eval_forward
 
 def extract_features(cfg: MATConfig, spec: GroupSpec, params,
                      dataset: TaskDataset, batch_size: int = 512,
-                     rng: Optional[np.random.RandomState] = None):
+                     rng: Optional[np.random.RandomState] = None,
+                     mesh_plan=None):
     """Returns aligned (image_features [n_img, D], caption_features
-    [n_cap, D], image_classes, caption_classes)."""
+    [n_cap, D], image_classes, caption_classes).  With a ``mesh_plan``,
+    every feature-extraction batch shards over the whole device mesh (the
+    reference runs this single-device; SURVEY.md §2.8 P3)."""
     fwd = build_eval_forward(cfg, spec)
     n = dataset.n
+    if mesh_plan is not None:
+        batch_size = mesh_plan.pad_eval_batch(batch_size)
+        params = mesh_plan.replicate(params)
     order = np.arange(n)
     if rng is not None:
         rng.shuffle(order)
@@ -56,6 +62,8 @@ def extract_features(cfg: MATConfig, spec: GroupSpec, params,
             "x": dataset.load_images(gidx),
             "y": dataset.texts[gidx],
         }
+        if mesh_plan is not None:
+            batch = mesh_plan.shard_eval_batch(batch)
         fi, ft = fwd(params, batch)
         fi = np.asarray(fi[:len(idx)], np.float32)
         ft = np.asarray(ft[:len(idx)], np.float32)
@@ -135,9 +143,10 @@ def evaluate_n_fold(image_features, caption_features, image_classes,
 
 def evaluate(cfg: MATConfig, spec: GroupSpec, params, dataset: TaskDataset,
              batch_size: int = 512, n_crossfolds: int = 5,
-             rng: Optional[np.random.RandomState] = None) -> Dict:
+             rng: Optional[np.random.RandomState] = None,
+             mesh_plan=None) -> Dict:
     imf, capf, imc, capc = extract_features(cfg, spec, params, dataset,
-                                            batch_size, rng)
+                                            batch_size, rng, mesh_plan)
     scores: Dict = {}
     if n_crossfolds > 0 and len(imf) >= n_crossfolds * 1000:
         scores["n_fold"] = evaluate_n_fold(imf, capf, imc, capc, n_crossfolds)

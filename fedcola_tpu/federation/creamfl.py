@@ -262,8 +262,7 @@ class CreamflServer(FedAvgServer):
                     chunk = {k2: np.concatenate(
                         [v, np.zeros((n_pad - n,) + v.shape[1:], v.dtype)])
                         for k2, v in chunk.items()}
-                chunk = self._shard_clients(
-                    {k2: jnp.asarray(v) for k2, v in chunk.items()})
+                chunk = self.mesh_plan.shard_chunk(chunk)
                 self.key, k = jax.random.split(self.key)
                 rngs = self._shard_clients(jax.random.split(k, n_pad))
                 stacked, opt_state, (ls, cs, ns) = update_fn(

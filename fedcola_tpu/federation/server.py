@@ -100,17 +100,17 @@ class FedAvgServer:
         self.client_modality_of = [data.client_meta[i].modality
                                    for i in range(data.K)]
 
-        # device mesh over the client axis (SURVEY.md §2.8 P1/P4: replaces
-        # the reference's thread pool + round-robin CUDA placement).  With
-        # one device this is a no-op; on a v5e-8 each group's client stack
-        # shards over ICI.
-        devs = jax.devices()
-        n_dev = int(np.prod(cfg.mesh_shape)) if cfg.mesh_shape else len(devs)
-        if n_dev > 1:
-            from jax.sharding import Mesh
-            self.mesh = Mesh(np.array(devs[:n_dev]), ("clients",))
-        else:
-            self.mesh = None
+        # device mesh (SURVEY.md §2.8 P1/P3/P4: replaces the reference's
+        # thread pool + DataParallel + round-robin CUDA placement).  The
+        # ``clients`` axis shards stacked client trees; an optional ``data``
+        # axis (--mesh_shape 4 2 --mesh_axes clients data) adds intra-client
+        # batch parallelism; eval batches shard over the flattened mesh.
+        from fedcola_tpu.parallel.mesh import MeshPlan
+        self.mesh_plan = MeshPlan.build(cfg.mesh_shape, cfg.mesh_axes)
+        self.mesh = self.mesh_plan.mesh
+        if self.mesh is not None:
+            logger.info("[MESH] %s over %d devices",
+                        dict(self.mesh.shape), self.mesh.size)
 
     # ---------------------------------------------------------------- util --
 
@@ -154,16 +154,10 @@ class FedAvgServer:
 
     def _pad_to_mesh(self, n: int) -> int:
         """Stacked client axes must divide the mesh's client axis."""
-        if self.mesh is None:
-            return n
-        m = self.mesh.shape["clients"]
-        return ((n + m - 1) // m) * m
+        return self.mesh_plan.pad_clients(n)
 
     def _shard_clients(self, tree):
-        if self.mesh is None:
-            return tree
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        return jax.device_put(tree, NamedSharding(self.mesh, P("clients")))
+        return self.mesh_plan.shard_client_tree(tree)
 
     def _train_group(self, ds: str, ids: List[int]):
         """One group's batched local update; returns the stacked upload tree
@@ -199,8 +193,7 @@ class FedAvgServer:
                 chunk = {k: np.concatenate(
                     [v, np.zeros((n_pad - n,) + v.shape[1:], v.dtype)])
                     for k, v in chunk.items()}
-            chunk = self._shard_clients(
-                {k: jnp.asarray(v) for k, v in chunk.items()})
+            chunk = self.mesh_plan.shard_chunk(chunk)
             self.key, k = jax.random.split(self.key)
             rngs = self._shard_clients(jax.random.split(k, n_pad))
             stacked, opt_state, (ls, cs, ns) = update_fn(
@@ -318,7 +311,8 @@ class FedAvgServer:
                 res = retrieval.evaluate(
                     mcfg, spec, params, test,
                     batch_size=cfg.eval_batch_size,
-                    rng=np.random.RandomState(self.cfg.seed + self.round))
+                    rng=np.random.RandomState(self.cfg.seed + self.round),
+                    mesh_plan=self.mesh_plan)
                 r1sum = 0.0
                 payload = {}
                 for split_key, prefix in (("n_fold", "1k"), (None, "5k")):
@@ -340,7 +334,10 @@ class FedAvgServer:
             else:
                 fwd = build_eval_forward(mcfg, spec)
                 mm = MetricManager(cfg.eval_metrics)
-                B = cfg.B
+                # eval batches shard over the whole mesh (the reference's
+                # equivalent DataParallel axis, fedavgclient.py:60-61)
+                B = self.mesh_plan.pad_eval_batch(cfg.B)
+                params_dev = self.mesh_plan.replicate(params)
                 from fedcola_tpu.ops.losses import cross_entropy
                 n = test.n
                 for start in range(0, n, B):
@@ -352,7 +349,8 @@ class FedAvgServer:
                                    if "img" in DATASET_2_MODALITY[ds]
                                    else test.texts[gidx]),
                              "y": test.targets[gidx].astype(np.int32)}
-                    logits = np.asarray(fwd(params, batch))[:len(idx)]
+                    batch = self.mesh_plan.shard_eval_batch(batch)
+                    logits = np.asarray(fwd(params_dev, batch))[:len(idx)]
                     y = test.targets[idx]
                     loss = float(cross_entropy(jnp.asarray(logits),
                                                jnp.asarray(y)))
@@ -419,7 +417,8 @@ class FedAvgServer:
             params = self.global_params[ds]
             metrics = ["acc1"] if self.clients[i].task == "cls" else ["f1"]
             mm = MetricManager(metrics if spec.modality != "img+txt" else [])
-            B = self.cfg.B
+            B = self.mesh_plan.pad_eval_batch(self.cfg.B)
+            params_dev = self.mesh_plan.replicate(params)
             tidx = shard.test_indices
             for s in range(0, len(tidx), B):
                 sel = tidx[s:s + B]
@@ -429,7 +428,8 @@ class FedAvgServer:
                 d = shard.dataset
                 if spec.modality == "img+txt":
                     batch = {"x": d.load_images(gsel), "y": d.texts[gsel]}
-                    fi, ft = fwd(params, batch)
+                    batch = self.mesh_plan.shard_eval_batch(batch)
+                    fi, ft = fwd(params_dev, batch)
                     loss = float(clip_contrastive(fi[:len(sel)],
                                                   ft[:len(sel)]))
                     mm.track(loss, count=len(sel))
@@ -438,7 +438,8 @@ class FedAvgServer:
                                    if spec.modality == "img"
                                    else d.texts[gsel]),
                              "y": d.targets[gsel].astype(np.int32)}
-                    logits = np.asarray(fwd(params, batch))[:len(sel)]
+                    batch = self.mesh_plan.shard_eval_batch(batch)
+                    logits = np.asarray(fwd(params_dev, batch))[:len(sel)]
                     y = d.targets[sel]
                     loss = float(cross_entropy(jnp.asarray(logits),
                                                jnp.asarray(y)))

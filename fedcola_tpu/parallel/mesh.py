@@ -1,0 +1,143 @@
+"""Production device-mesh plan: the ``(clients, data)`` SPMD layout.
+
+The reference spends its parallelism on a thread pool over clients plus
+optional ``torch.nn.DataParallel`` inside a client (SURVEY.md §2.8 P1/P3,
+fedavgserver.py:536, fedavgclient.py:60-61).  TPU-native equivalent: one
+``jax.sharding.Mesh`` whose
+
+* ``clients`` axis shards the stacked client parameter/optimizer/data trees
+  on their leading axis — each device trains a subset of the round's
+  sampled clients;
+* ``data`` axis (optional) shards every client's per-step batch, giving
+  intra-client data parallelism; XLA inserts the all-gathers/reductions the
+  in-batch losses need (the collectives ride ICI).
+
+Evaluation batches shard over *all* devices (the flattened mesh) so central
+eval and retrieval feature extraction no longer idle every chip but one.
+
+``--mesh_shape``/``--mesh_axes`` pick the layout; the default is a 1-D
+``clients`` mesh over all visible devices.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+VALID_AXES = ("clients", "data")
+
+
+@dataclass(frozen=True)
+class MeshPlan:
+    """A (possibly absent) device mesh plus the layout rules used by the
+    servers, the evaluators and the driver dryrun."""
+
+    mesh: Optional[Mesh] = None
+
+    # ------------------------------------------------------------ factory --
+    @staticmethod
+    def build(mesh_shape: Optional[Sequence[int]] = None,
+              mesh_axes: Optional[Sequence[str]] = None,
+              devices: Optional[Sequence] = None) -> "MeshPlan":
+        devs = list(devices) if devices is not None else jax.devices()
+        if mesh_shape:
+            axes = list(mesh_axes or ())
+            if len(axes) != len(mesh_shape):
+                if not axes or axes == ["clients"]:   # unset / CLI default
+                    axes = list(VALID_AXES[:len(mesh_shape)])
+                else:
+                    raise ValueError(f"mesh_axes {axes} does not match "
+                                     f"mesh_shape {mesh_shape}")
+            for a in axes:
+                if a not in VALID_AXES:
+                    raise ValueError(f"unknown mesh axis {a!r}; "
+                                     f"valid: {VALID_AXES}")
+            if "clients" not in axes:
+                raise ValueError("mesh_axes must include 'clients'")
+            n = int(np.prod(mesh_shape))
+            if n > len(devs):
+                raise ValueError(f"mesh_shape {mesh_shape} needs {n} devices "
+                                 f"but only {len(devs)} are visible")
+            if n == 1:
+                return MeshPlan(None)
+            grid = np.array(devs[:n]).reshape(tuple(mesh_shape))
+            return MeshPlan(Mesh(grid, tuple(axes)))
+        if len(devs) > 1:
+            return MeshPlan(Mesh(np.array(devs), ("clients",)))
+        return MeshPlan(None)
+
+    # ---------------------------------------------------------- properties --
+    @property
+    def n_devices(self) -> int:
+        return self.mesh.size if self.mesh is not None else 1
+
+    @property
+    def clients_axis(self) -> int:
+        return self.mesh.shape["clients"] if self.mesh is not None else 1
+
+    @property
+    def data_axis(self) -> int:
+        if self.mesh is None:
+            return 1
+        return self.mesh.shape.get("data", 1)
+
+    # ------------------------------------------------------------- padding --
+    def pad_clients(self, n: int) -> int:
+        """Stacked client axes must divide the mesh's clients axis."""
+        m = self.clients_axis
+        return ((n + m - 1) // m) * m
+
+    def pad_eval_batch(self, b: int) -> int:
+        """Eval batches shard over the flattened mesh."""
+        m = self.n_devices
+        return ((b + m - 1) // m) * m
+
+    # ------------------------------------------------------------ sharding --
+    def shard_client_tree(self, tree):
+        """Leading axis = clients; replicated over the data axis."""
+        if self.mesh is None:
+            return tree
+        return jax.device_put(tree, NamedSharding(self.mesh, P("clients")))
+
+    def shard_chunk(self, chunk: Dict, batch_axis: int = 2) -> Dict:
+        """Training chunk [n_clients, S, B, ...]: clients on axis 0, the
+        per-step batch on ``batch_axis`` over the data axis (when present
+        and divisible); step_valid-style [n, S] arrays shard clients only."""
+        if self.mesh is None:
+            return chunk
+        cs = NamedSharding(self.mesh, P("clients"))
+        d = self.data_axis
+        out = {}
+        for k, v in chunk.items():
+            if d > 1 and v.ndim > batch_axis and v.shape[batch_axis] % d == 0:
+                parts = [None] * v.ndim
+                parts[0] = "clients"
+                parts[batch_axis] = "data"
+                out[k] = jax.device_put(v, NamedSharding(self.mesh, P(*parts)))
+            else:
+                out[k] = jax.device_put(v, cs)
+        return out
+
+    def shard_eval_batch(self, batch: Dict) -> Dict:
+        """Evaluation batch [B, ...]: B shards over every mesh device
+        (flattened axes), so eval uses the whole pod instead of one chip.
+        Arrays whose batch dim doesn't divide are replicated."""
+        if self.mesh is None:
+            return batch
+        n = self.n_devices
+        flat = NamedSharding(self.mesh, P(self.mesh.axis_names))
+        rep = NamedSharding(self.mesh, P())
+        return {k: jax.device_put(v, flat if v.shape[0] % n == 0 else rep)
+                for k, v in batch.items()}
+
+    def replicate(self, tree):
+        if self.mesh is None:
+            return tree
+        return jax.device_put(tree, NamedSharding(self.mesh, P()))
