@@ -46,24 +46,68 @@ class ClientShard:
 @dataclass
 class AugmentSpec:
     """Host-side train-time augmentations (reference ``_get_transform``,
-    data.py:86-134).  The canonical scripts only use --resize/--imnorm
-    (both handled on device); these cover the remaining flags."""
+    data.py:86-134), applied in the reference's Compose order:
+    crop -> rotation -> hflip -> vflip -> color jitter.  --resize/--imnorm
+    are handled on device."""
     crop: Optional[int] = None       # RandomCrop(crop, padding=4)
+    randrot: Optional[int] = None    # RandomRotation(deg): U(-deg, +deg)
     randhf: Optional[float] = None   # RandomHorizontalFlip(p)
     randvf: Optional[float] = None   # RandomVerticalFlip(p)
+    randjit: Optional[float] = None  # ColorJitter(brightness=j, contrast=j)
+
+    @property
+    def active(self) -> bool:
+        return any(v is not None for v in
+                   (self.crop, self.randrot, self.randhf, self.randvf,
+                    self.randjit))
+
+
+def _rotate_nearest(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Rotate one HWC image about its center, nearest interpolation,
+    fill=0, expand=False (torchvision RandomRotation defaults)."""
+    H, W = img.shape[:2]
+    a = np.deg2rad(angle_deg)
+    cos, sin = np.cos(a), np.sin(a)
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy, xx = np.meshgrid(np.arange(H) - cy, np.arange(W) - cx, indexing="ij")
+    # inverse map: output (y, x) samples the input rotated counter-clockwise
+    # by ``angle`` (PIL/torchvision convention; bit-exact vs PIL NEAREST)
+    sx = np.round(cos * xx - sin * yy + cx).astype(np.int64)
+    sy = np.round(sin * xx + cos * yy + cy).astype(np.int64)
+    ok = (sx >= 0) & (sx < W) & (sy >= 0) & (sy < H)
+    out = np.zeros_like(img)
+    out[ok] = img[sy[ok], sx[ok]]
+    return out
+
+
+def _color_jitter(img: np.ndarray, j: float,
+                  rng: np.random.RandomState) -> np.ndarray:
+    """PIL-semantics brightness + contrast jitter (torchvision ColorJitter
+    with brightness=contrast=j): factors ~ U(max(0, 1-j), 1+j), the two
+    adjustments applied in random order (ColorJitter permutes them)."""
+    lo = max(0.0, 1.0 - j)
+    fb = rng.uniform(lo, 1.0 + j)
+    fc = rng.uniform(lo, 1.0 + j)
+    ops = ["b", "c"]
+    if rng.rand() < 0.5:
+        ops.reverse()
+    x = img.astype(np.float32)
+    for op in ops:
+        if op == "b":
+            x = x * fb
+        else:
+            # ImageEnhance.Contrast: blend against the rounded mean of the
+            # ITU-R 601-2 grayscale
+            gray = (x[..., 0] * 299 + x[..., 1] * 587 + x[..., 2] * 114) / 1000
+            mean = np.floor(gray.mean() + 0.5)
+            x = x * fc + mean * (1.0 - fc)
+        x = np.clip(x, 0, 255)
+    return np.round(x).astype(img.dtype)
 
 
 def _augment(images: np.ndarray, aug: AugmentSpec,
              rng: np.random.RandomState) -> np.ndarray:
     B = images.shape[0]
-    if aug.randhf is not None:
-        flip = rng.rand(B) < aug.randhf
-        images = np.where(flip[:, None, None, None],
-                          images[:, :, ::-1, :], images)
-    if aug.randvf is not None:
-        flip = rng.rand(B) < aug.randvf
-        images = np.where(flip[:, None, None, None],
-                          images[:, ::-1, :, :], images)
     if aug.crop is not None:
         c = aug.crop
         padded = np.pad(images, ((0, 0), (4, 4), (4, 4), (0, 0)))
@@ -74,6 +118,21 @@ def _augment(images: np.ndarray, aug: AugmentSpec,
         for i in range(B):
             out[i] = padded[i, ys[i]:ys[i] + c, xs[i]:xs[i] + c]
         images = out
+    if aug.randrot is not None:
+        angles = rng.uniform(-aug.randrot, aug.randrot, B)
+        images = np.stack([_rotate_nearest(images[i], angles[i])
+                           for i in range(B)])
+    if aug.randhf is not None:
+        flip = rng.rand(B) < aug.randhf
+        images = np.where(flip[:, None, None, None],
+                          images[:, :, ::-1, :], images)
+    if aug.randvf is not None:
+        flip = rng.rand(B) < aug.randvf
+        images = np.where(flip[:, None, None, None],
+                          images[:, ::-1, :, :], images)
+    if aug.randjit is not None:
+        images = np.stack([_color_jitter(images[i], aug.randjit, rng)
+                           for i in range(B)])
     return images
 
 

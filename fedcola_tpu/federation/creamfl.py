@@ -248,11 +248,16 @@ class CreamflServer(FedAvgServer):
         pub_fn = self._build_pub_update(ds)
         gp = self.global_params[ds]
         shards = [self.data.client_shards[i] for i in ids]
+        from fedcola_tpu.data.pipeline import AugmentSpec
+        aug = AugmentSpec(crop=cfg.crop, randrot=cfg.randrot,
+                          randhf=cfg.randhf, randvf=cfg.randvf,
+                          randjit=cfg.randjit)
+        aug = aug if ("img" in spec.modality and aug.active) else None
         feeder = GroupFeeder(shards, cfg.B, spec.modality,
                              chunk_steps=cfg.train_chunk_steps,
                              shuffle=not cfg.no_shuffle,
                              rng=self.shuffle_rng,
-                             debug_two_batches=cfg.debug)
+                             debug_two_batches=cfg.debug, aug=aug)
         do_pub = cfg.interintra_weight > 0 and not (
             cfg.no_mm_contrastive and spec.modality == "img+txt")
         loss_sums = np.zeros(n); cor = np.zeros(n); cnt = np.zeros(n)

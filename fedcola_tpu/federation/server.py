@@ -176,10 +176,10 @@ class FedAvgServer:
 
         shards = [self.data.client_shards[i] for i in ids]
         from fedcola_tpu.data.pipeline import AugmentSpec
-        aug = None
-        if "img" in spec.modality and (cfg.crop or cfg.randhf or cfg.randvf):
-            aug = AugmentSpec(crop=cfg.crop, randhf=cfg.randhf,
-                              randvf=cfg.randvf)
+        aug = AugmentSpec(crop=cfg.crop, randrot=cfg.randrot,
+                          randhf=cfg.randhf, randvf=cfg.randvf,
+                          randjit=cfg.randjit)
+        aug = aug if ("img" in spec.modality and aug.active) else None
         feeder = GroupFeeder(shards, cfg.B, spec.modality,
                              chunk_steps=cfg.train_chunk_steps,
                              shuffle=not cfg.no_shuffle,

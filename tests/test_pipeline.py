@@ -74,6 +74,60 @@ def test_augmentation_shapes_and_determinism():
     assert chunk["x"].dtype == np.uint8
 
 
+def test_rotation_matches_pil_nearest():
+    """randrot parity: bit-exact vs PIL rotate(angle, NEAREST) — the
+    backend torchvision's RandomRotation uses (reference data.py:99)."""
+    from PIL import Image
+    from fedcola_tpu.data.pipeline import _rotate_nearest
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    for a in (10.0, -25.0, 37.5, 180.0):
+        ref = np.asarray(Image.fromarray(img).rotate(a, resample=Image.NEAREST))
+        np.testing.assert_array_equal(_rotate_nearest(img, a), ref, str(a))
+
+
+def test_color_jitter_semantics():
+    """randjit parity: brightness/contrast blends match PIL ImageEnhance
+    within 1 uint8 step; factor range is U(max(0,1-j), 1+j); zeros-jitter
+    is identity."""
+    from PIL import Image, ImageEnhance
+    from fedcola_tpu.data.pipeline import _color_jitter
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    x = img.astype(np.float32)
+    for f in (0.6, 1.0, 1.4):
+        pb = np.asarray(ImageEnhance.Brightness(Image.fromarray(img)).enhance(f))
+        ob = np.clip(np.round(x * f), 0, 255)
+        assert np.abs(pb.astype(int) - ob.astype(int)).max() <= 1, f
+        pc = np.asarray(ImageEnhance.Contrast(Image.fromarray(img)).enhance(f))
+        gray = (x[..., 0] * 299 + x[..., 1] * 587 + x[..., 2] * 114) / 1000
+        mean = np.floor(gray.mean() + 0.5)
+        oc = np.clip(np.round(x * f + mean * (1 - f)), 0, 255)
+        assert np.abs(pc.astype(int) - oc.astype(int)).max() <= 1, f
+    # sampled factors stay in torchvision's range: j=0.5 -> factors in [.5,1.5]
+    out = _color_jitter(np.full((8, 8, 3), 128, np.uint8), 0.5,
+                        np.random.RandomState(2))
+    assert out.min() >= 255 * 0.2 and out.shape == (8, 8, 3)
+
+
+def test_augment_order_and_flags():
+    """The full _augment chain applies crop->rot->flips->jitter (the
+    reference Compose order, data.py:95-105) and changes pixels."""
+    ds = fetch_synthetic("CIFAR100", "img", "cls", 16, 10, img_hw=32, seed=2)
+    shards = [ClientShard(ds, np.arange(16))]
+    aug = AugmentSpec(crop=32, randrot=15, randhf=0.5, randvf=0.5,
+                      randjit=0.4)
+    assert aug.active
+    feeder = GroupFeeder(shards, B=8, modality="img", chunk_steps=8,
+                         shuffle=False, rng=np.random.RandomState(3),
+                         aug=aug)
+    chunk = next(iter(feeder.epoch_chunks()))
+    assert chunk["x"].shape == (1, 2, 8, 32, 32, 3)
+    assert chunk["x"].dtype == np.uint8
+    assert not np.array_equal(chunk["x"][0, 0],
+                              ds.images[:8])  # actually augmented
+
+
 def test_prefetcher_preserves_order():
     items = list(range(20))
     assert list(Prefetcher(iter(items))) == items
