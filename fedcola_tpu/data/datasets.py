@@ -182,24 +182,8 @@ def fetch_torchvision_generic(name: str, root: str, train: bool,
                        image_size=image_size)
 
 
-# ---------------------------------------------------------------- AG_NEWS --
-
-def fetch_agnews(root: str, train: bool, tokenizer: WordPieceTokenizer,
-                 seq_len: int = 40) -> TaskDataset:
-    """AG_NEWS csv: class(1-4),title,description (torchtext layout)."""
-    import csv
-    split = "train" if train else "test"
-    path = os.path.join(root, f"{split}.csv")
-    texts, labels = [], []
-    with open(path, encoding="utf-8") as f:
-        for row in csv.reader(f):
-            labels.append(int(row[0]) - 1)
-            texts.append(" ".join(row[1:]))
-    ids = tokenizer.encode_batch(texts, seq_len)
-    return TaskDataset(name="AG_NEWS", task="cls", modality="txt",
-                       num_classes=4, n=len(labels), texts=ids,
-                       targets=np.asarray(labels, np.int64))
-
+# AG_NEWS and the other fast-ai csv families route through the generic
+# torchtext fetcher (fedcola_tpu/data/torchtext.py; see fetch_dataset).
 
 # ----------------------------------------------------- MedicalAbstracts ----
 
@@ -346,8 +330,16 @@ def fetch_dataset(name: str, root: str, train: bool,
             seed=hash((name, train)) % (2 ** 31))
     if name == "CIFAR100":
         return fetch_cifar100(root, train, image_size=image_size or 32)
-    if name == "AG_NEWS":
-        return fetch_agnews(root, train, tokenizer, seq_len)
+    from fedcola_tpu.data.torchtext import (TORCHTEXT_NUM_CLASSES,
+                                            fetch_torchtext_generic)
+    if name in TORCHTEXT_NUM_CLASSES:
+        # reference routes these through the generic torchtext parser with
+        # vocab building unless a bert tokenizer is requested
+        # (data.py:173-188, torchtextparser.py:115-161)
+        return fetch_torchtext_generic(
+            name, root, train, seq_len,
+            kw.get("num_embeddings", 1000),
+            tokenizer if kw.get("use_bert_tokenizer") else None)
     if name == "MedicalAbstracts":
         return fetch_medabstracts(root, train, tokenizer, seq_len)
     if name == "MedMNIST":

@@ -66,7 +66,9 @@ def load_federated_data(cfg: ExperimentConfig,
                   reduce_samples=cfg.reduce_samples,
                   reduce_test_samples=cfg.reduce_test_samples,
                   train_all=cfg.flickr_train_all,
-                  image_size=cfg.resize)
+                  image_size=cfg.resize,
+                  num_embeddings=cfg.num_embeddings,
+                  use_bert_tokenizer=cfg.use_bert_tokenizer)
         try:
             train = fetch_dataset(ds, root, True, **kw)
             test = fetch_dataset(ds, root, False, **kw)

@@ -74,3 +74,77 @@ def test_diri_split_min_size():
                            num_classes=5, cncntrtn=0.5)
     assert min(len(v) for v in split.values()) >= 10
     assert sum(len(v) for v in split.values()) == 500
+
+
+# ------------------------------------------------------- torchtext generic --
+
+def _write_fastai_csv(path, rows):
+    import csv as _csv
+    with open(path, "w", newline="", encoding="utf8") as f:
+        w = _csv.writer(f)
+        w.writerows(rows)
+
+
+def test_basic_english_tokenizer_semantics():
+    """torchtext basic_english parity on its documented substitutions."""
+    from fedcola_tpu.data.torchtext import basic_english_tokenize
+    assert basic_english_tokenize("You can now install TorchText using pip!") \
+        == ["you", "can", "now", "install", "torchtext", "using", "pip", "!"]
+    assert basic_english_tokenize('He said: "don\'t go." <br /> Why; not?') \
+        == ["he", "said", "don", "'", "t", "go", ".", "why", "not", "?"]
+    assert basic_english_tokenize("A, (b) c!") == \
+        ["a", ",", "(", "b", ")", "c", "!"]
+
+
+def test_torchtext_generic_agnews(tmp_path):
+    from fedcola_tpu.data.torchtext import (build_vocab,
+                                            fetch_torchtext_generic)
+    root = tmp_path / "ag"
+    root.mkdir()
+    _write_fastai_csv(root / "train.csv", [
+        [1, "World news", "the war the war report"],
+        [2, "Sports news", "the match was won"],
+        [3, "Business", "the market the market"],
+        [4, "SciTech", "new chip ships"],
+    ])
+    _write_fastai_csv(root / "test.csv", [
+        [1, "World", "war report arrives"],
+        [4, "SciTech", "unseen wordhere"],
+    ])
+    tr = fetch_torchtext_generic("AG_NEWS", str(root), True, seq_len=6)
+    te = fetch_torchtext_generic("AG_NEWS", str(root), False, seq_len=6)
+    assert tr.num_classes == 4 and tr.task == "cls" and tr.modality == "txt"
+    assert tr.targets.tolist() == [0, 1, 2, 3]      # 1-based -> 0-based
+    assert tr.texts.shape == (4, 6) and te.texts.shape == (2, 6)
+    # vocab: pad=0, unk=1, then frequency-descending ('the' is most common)
+    vocab = build_vocab([["the", "war", "the", "news"], ["the"]])
+    assert vocab["<pad>"] == 0 and vocab["<unk>"] == 1 and vocab["the"] == 2
+    # unseen test tokens -> unk, shared train vocab
+    assert (te.texts[1] == 1).any()
+    # padding fills with pad id 0
+    assert (tr.texts[3] == 0).sum() >= 1
+    # npz cache written with the reference's names and reused
+    assert (root / "tr_6.npz").exists() and (root / "te_6.npz").exists()
+    z = np.load(root / "tr_6.npz", allow_pickle=True)
+    assert set(z.files) == {"arr_0", "arr_1"}       # reference layout
+    tr2 = fetch_torchtext_generic("AG_NEWS", str(root), True, seq_len=6)
+    np.testing.assert_array_equal(tr2.texts, tr.texts)
+
+
+def test_torchtext_second_family_and_cap(tmp_path):
+    """A second torchtext family (DBpedia, 14 classes) loads from local
+    files; num_embeddings caps the vocab like torchtext max_tokens."""
+    from fedcola_tpu.data.torchtext import fetch_torchtext_generic
+    root = tmp_path / "db"
+    root.mkdir()
+    rows = [[(i % 14) + 1, f"title {i}", "alpha beta gamma delta " * (i + 1)]
+            for i in range(14)]
+    _write_fastai_csv(root / "train.csv", rows)
+    _write_fastai_csv(root / "test.csv", rows[:3])
+    tr = fetch_torchtext_generic("DBpedia", str(root), True, seq_len=8,
+                                 num_embeddings=4)
+    assert tr.num_classes == 14
+    assert sorted(np.unique(tr.targets)) == list(range(14))
+    # vocab capped at 4 (pad, unk + 3 most frequent... unk counts toward
+    # the cap, pad does not) -> max id is 4
+    assert tr.texts.max() <= 4
