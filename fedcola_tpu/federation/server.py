@@ -509,7 +509,22 @@ class FedAvgServer:
                   "w", encoding="utf8") as f:
             json.dump({str(k): v for k, v in self.results.items()}, f,
                       indent=4, default=float)
-        self.save_checkpoint(os.path.join(cfg.result_path, cfg.exp_name))
+        ckpt_dir = os.path.join(cfg.result_path, cfg.exp_name)
+        self.save_checkpoint(ckpt_dir)
+        # reference-format final checkpoints: per-dataset .pt state_dicts
+        # under the exact reference parameter names/layouts
+        # (fedavgserver.py:884-898), loadable with strict=True by the
+        # reference's ModalityAgnosticTransformer
+        try:
+            import torch
+            from fedcola_tpu.models.torch_io import to_torch_state_dict
+            for ds, params in self.global_params.items():
+                sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+                      for k, v in to_torch_state_dict(
+                          self.model_cfgs[ds], params).items()}
+                torch.save(sd, os.path.join(ckpt_dir, f"{ds}.pt"))
+        except ImportError:
+            logger.warning("torch unavailable; skipped .pt checkpoints")
         if self.writer:
             self.writer.finish()
         logger.info("[%s] finished federated learning (%d rounds)",

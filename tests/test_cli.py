@@ -48,6 +48,12 @@ def test_main_cli_end_to_end(tmp_path):
     assert ckpt.exists()
     z = np.load(ckpt)
     assert int(z["__round__"]) == 2
+    # reference-format .pt state_dict alongside (fedavgserver.py:884-898)
+    import torch
+    sd = torch.load(tmp_path / "result" / "cli_smoke" /
+                    "MedicalAbstracts.pt", weights_only=True)
+    assert any(k.startswith("blockses.1.") for k in sd)
+    assert any(k.startswith("embeddings.1.") for k in sd)
 
     # resume: a second invocation finds the per-round checkpoint at round 2
     # and has nothing left to do -> still exits cleanly and rewrites results
