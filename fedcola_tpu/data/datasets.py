@@ -306,6 +306,38 @@ def fetch_coco(root: str, train: bool, tokenizer: WordPieceTokenizer,
                        ann_ids=np.asarray(ann_ids))
 
 
+def fetch_coco_public(pub_data_dir: str, pub_anno_path: str,
+                      tokenizer: WordPieceTokenizer, seq_len: int = 40,
+                      num_pub_samples: int = 500,
+                      image_size: int = 224) -> TaskDataset:
+    """CreamFL public set, exactly as ``get_pub_loader``
+    (creamflserver.py:100-126): annotation ids are the LAST
+    ``num_pub_samples`` entries of ``coco_train_ids.npy`` (found two levels
+    above the annotation file), annotations come from ``pub_anno_path`` and
+    images from ``pub_data_dir``.  The canonical scripts pass
+    captions_train2014.json here (scripts/coco.sh:16)."""
+    parent = os.sep.join(pub_anno_path.split("/")[:-2])
+    ann_ids = np.load(os.path.join(parent, "coco_train_ids.npy"))
+    ann_ids = ann_ids[-num_pub_samples:]
+    with open(pub_anno_path, encoding="utf-8") as f:
+        ann = json.load(f)
+    img_file_of = {im["id"]: im["file_name"] for im in ann["images"]}
+    ann_by_id = {a["id"]: a for a in ann["annotations"]}
+    caps, img_ids, paths = [], [], []
+    for aid in ann_ids:
+        a = ann_by_id[int(aid)]
+        caps.append(a["caption"])
+        img_ids.append(a["image_id"])
+        paths.append(os.path.join(pub_data_dir,
+                                  img_file_of[a["image_id"]]))
+    ids = tokenizer.encode_batch(caps, seq_len)
+    return TaskDataset(name="CocoPublic", task="rtv", modality="img+txt",
+                       num_classes=None, n=len(caps), texts=ids, targets=ids,
+                       image_paths=paths, image_size=image_size,
+                       image_ids=np.asarray(img_ids),
+                       ann_ids=np.asarray(ann_ids))
+
+
 # ------------------------------------------------------------- dispatch -----
 
 def fetch_dataset(name: str, root: str, train: bool,

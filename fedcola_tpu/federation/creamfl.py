@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fedcola_tpu.config import DATASET_2_MODALITY, DATASET_2_TASK
-from fedcola_tpu.data.datasets import fetch_coco, fetch_synthetic
+from fedcola_tpu.data.datasets import fetch_coco_public, fetch_synthetic
 from fedcola_tpu.data.pipeline import GroupFeeder, Prefetcher
 from fedcola_tpu.data.sampling import sample_clients
 from fedcola_tpu.federation import aggregate as agg
@@ -76,12 +76,12 @@ class CreamflServer(FedAvgServer):
         try:
             if cfg.synthetic_data:
                 raise FileNotFoundError
-            import os
-            root = os.sep.join(cfg.pub_anno_path.split("/")[:-2])
             tok = self.data.tokenizers.get(self.mm_dataset)
-            ds = fetch_coco(root, True, tok, cfg.seq_len,
-                            reduce_samples=-1, image_size=cfg.resize or 224)
-            idx = np.arange(ds.n)[-cfg.num_pub_samples:]
+            ds = fetch_coco_public(cfg.pub_data_dir, cfg.pub_anno_path, tok,
+                                   cfg.seq_len, cfg.num_pub_samples,
+                                   image_size=cfg.resize or 224)
+            ds.materialize_images()
+            idx = np.arange(ds.n)
         except (FileNotFoundError, OSError, KeyError):
             mm_cfg = self.model_cfgs[self.mm_dataset]
             n = cfg.num_pub_samples - cfg.num_pub_samples % 5

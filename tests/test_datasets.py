@@ -148,3 +148,31 @@ def test_torchtext_second_family_and_cap(tmp_path):
     # vocab capped at 4 (pad, unk + 3 most frequent... unk counts toward
     # the cap, pad does not) -> max id is 4
     assert tr.texts.max() <= 4
+
+
+def test_coco_public_set_reference_layout(tmp_path):
+    """CreamFL public set: annotations from pub_anno_path, ids =
+    coco_train_ids[-n:] found two levels above it, images from pub_data_dir
+    (creamflserver.py:100-126)."""
+    import json as _json
+    from fedcola_tpu.data.datasets import fetch_coco_public
+    from fedcola_tpu.data.tokenizer import WordPieceTokenizer
+    coco = tmp_path / "coco"
+    (coco / "annotations").mkdir(parents=True)
+    (coco / "all_images").mkdir()
+    anns = [{"id": 100 + i, "image_id": i // 2,
+             "caption": f"a photo number {i}"} for i in range(10)]
+    imgs = [{"id": j, "file_name": f"img{j}.jpg"} for j in range(5)]
+    (coco / "annotations" / "captions_train2014.json").write_text(
+        _json.dumps({"annotations": anns, "images": imgs}))
+    np.save(coco / "coco_train_ids.npy",
+            np.array([100 + i for i in range(10)]))
+    tok = WordPieceTokenizer.synthetic(200)
+    ds = fetch_coco_public(str(coco / "all_images"),
+                           str(coco / "annotations" /
+                               "captions_train2014.json"),
+                           tok, seq_len=8, num_pub_samples=4)
+    assert ds.n == 4
+    np.testing.assert_array_equal(ds.ann_ids, [106, 107, 108, 109])
+    assert ds.image_paths[0].endswith("all_images/img3.jpg")
+    assert ds.texts.shape == (4, 8)
