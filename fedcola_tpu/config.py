@@ -203,6 +203,7 @@ class ExperimentConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
     checkpoint_every: int = 0                # 0 = only final (reference parity)
+    profile_every: int = 0                   # jax.profiler trace every N rounds
     synthetic_data: bool = False             # synthetic data plane (benchmarks)
     wandb: bool = False
     num_classes: Optional[int] = None        # filled by the data plane
@@ -350,6 +351,7 @@ def _add_tpu_flags(p: argparse.ArgumentParser) -> None:
     add("--param_dtype", type=str, default="float32")
     add("--compute_dtype", type=str, default="bfloat16")
     add("--checkpoint_every", type=int, default=0)
+    add("--profile_every", type=int, default=0)
     add("--synthetic_data", action="store_true")
     add("--wandb", action="store_true")
 

@@ -227,10 +227,13 @@ class FedAvgServer:
             groups[self.clients[i].dataset].append(i)
         updated_sizes = {i: self.clients[i].n_train for i in sampled}
 
+        from fedcola_tpu.utils.profiling import Timer
+        timer = Timer()
         uploads, round_metrics = {}, {}
-        for ds, ids in groups.items():
-            uploads[ds], m = self._train_group(ds, ids)
-            round_metrics.update(m)
+        with timer.section("train"):
+            for ds, ids in groups.items():
+                uploads[ds], m = self._train_group(ds, ids)
+                round_metrics.update(m)
         self.results[self.round]["clients_updated"] = round_metrics
         # training-loss cohort summary (reference _log_results,
         # fedavgserver.py:362-379)
@@ -278,25 +281,28 @@ class FedAvgServer:
             # evaluate a plain-fedavg aggregate, then restore
             # (fedavgserver.py:794-806)
             old = self.global_params
-            self.global_params = aggregate_all(fedavg=True)
-            self._central_evaluate(fedavg=True)
+            with timer.section("fedavg_eval"):
+                self.global_params = aggregate_all(fedavg=True)
+                self._central_evaluate(fedavg=True)
             self.global_params = old
 
-        self.global_params = aggregate_all(fedavg=False)
+        with timer.section("aggregate"):
+            self.global_params = aggregate_all(fedavg=False)
 
-        if cfg.with_aux:
-            self.global_params = exchange_aux_weights(
-                self.global_params, self.model_cfgs,
-                {ds: DATASET_2_MODALITY[ds] for ds in self.global_params})
+            if cfg.with_aux:
+                self.global_params = exchange_aux_weights(
+                    self.global_params, self.model_cfgs,
+                    {ds: DATASET_2_MODALITY[ds] for ds in self.global_params})
 
         if self.round % cfg.lr_decay_step == 0:
             self.curr_lr *= cfg.lr_decay
 
         dt = time.time() - t0
         self.results[self.round]["round_seconds"] = dt
-        logger.info("[%s] [Round %04d] %d clients in %d groups, %.2fs",
+        self.results[self.round]["round_sections"] = dict(timer.sections)
+        logger.info("[%s] [Round %04d] %d clients in %d groups, %.2fs (%s)",
                     cfg.algorithm.upper(), self.round, len(sampled),
-                    len(groups), dt)
+                    len(groups), dt, timer.summary())
         return sampled
 
     # ---------------------------------------------------------------- eval ---

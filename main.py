@@ -72,10 +72,14 @@ def main(argv=None):
         server.load_checkpoint(ckpt_dir)
         logger.info("resumed from checkpoint at round %d", server.round)
 
+    from fedcola_tpu.utils.profiling import round_trace
+
     start = server.round + 1
     for r in range(start, cfg.R + 1):
         server.round = r
-        server.update()
+        do_trace = cfg.profile_every > 0 and r % cfg.profile_every == 0
+        with round_trace(do_trace, cfg.log_path, r):
+            server.update()
         if (r % cfg.eval_every == 0) or (r == cfg.R):
             server.evaluate([])
         if cfg.checkpoint_every and r % cfg.checkpoint_every == 0:
