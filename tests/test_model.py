@@ -182,3 +182,56 @@ def test_naming_roundtrip_paths_exist():
         params = init_mat(cfg, jax.random.PRNGKey(0))
         for path, name in naming.param_names(cfg):
             naming.get_by_path(params, path)  # must not raise
+
+
+def test_init_weights_variants():
+    """init_weights parity (reference src/utils.py:126-163): kernels get the
+    named scheme, their biases zero, embeddings/norms/tokens untouched."""
+    from fedcola_tpu.utils.init import init_weights
+    params = init_mat(TOY, jax.random.PRNGKey(0))
+    word_before = np.asarray(params["emb"]["1"]["word"])
+
+    for it in ("normal", "xavier", "xavier_uniform", "kaiming",
+               "truncnorm", "orthogonal"):
+        p = init_weights(params, it, 0.02 if it in ("normal", "truncnorm")
+                         else 1.0, jax.random.PRNGKey(1))
+        assert not np.allclose(np.asarray(p["blk"]["0"]["qkv_kernel"]),
+                               np.asarray(params["blk"]["0"]["qkv_kernel"])), it
+        assert (np.asarray(p["blk"]["0"]["qkv_bias"]) == 0).all(), it
+        np.testing.assert_array_equal(np.asarray(p["emb"]["1"]["word"]),
+                                      word_before)  # embeddings untouched
+        np.testing.assert_array_equal(np.asarray(p["blk"]["0"]["norm1_scale"]),
+                                      np.ones_like(p["blk"]["0"]["norm1_scale"]))
+
+    # statistical parity vs torch semantics
+    import torch
+    D = 64
+    big = TOY.replace(embed_dim=D, depth=2, img_size=32, num_heads=2)
+    p = init_weights(init_mat(big, jax.random.PRNGKey(0)),
+                     "xavier", 1.0, jax.random.PRNGKey(2))
+    k = np.asarray(p["blk"]["0"]["fc1_kernel"][0])   # [D, 4D]
+    t = torch.empty(4 * D, D)
+    torch.nn.init.xavier_normal_(t, gain=1.0)
+    assert abs(k.std() - t.numpy().std()) < 0.15 * t.numpy().std()
+
+    import math
+    p = init_weights(init_mat(big, jax.random.PRNGKey(0)),
+                     "kaiming", 1.0, jax.random.PRNGKey(3))
+    k = np.asarray(p["blk"]["0"]["fc1_kernel"][0])
+    assert abs(k.std() - math.sqrt(2.0 / D)) < 0.1 * math.sqrt(2.0 / D)
+
+    # orthogonal: columns orthonormal (tall matrix [4D, D] in torch view)
+    p = init_weights(init_mat(big, jax.random.PRNGKey(0)),
+                     "orthogonal", 1.0, jax.random.PRNGKey(4))
+    k = np.asarray(p["blk"]["0"]["fc2_kernel"][0])   # [4D, D] (in, out)
+    gram = k.T @ k
+    np.testing.assert_allclose(gram, np.eye(D), atol=1e-5)
+
+    # truncnorm: absolute bounds +-2 like torch trunc_normal_
+    p = init_weights(init_mat(big, jax.random.PRNGKey(0)),
+                     "truncnorm", 1.5, jax.random.PRNGKey(5))
+    k = np.asarray(p["blk"]["0"]["qkv_kernel"])
+    assert k.min() >= -2.0 - 1e-6 and k.max() <= 2.0 + 1e-6
+
+    with pytest.raises(NotImplementedError):
+        init_weights(params, "bogus", 1.0, jax.random.PRNGKey(6))
