@@ -260,7 +260,11 @@ class CreamflServer(FedAvgServer):
                              debug_two_batches=cfg.debug, aug=aug)
         do_pub = cfg.interintra_weight > 0 and not (
             cfg.no_mm_contrastive and spec.modality == "img+txt")
-        loss_sums = np.zeros(n); cor = np.zeros(n); cnt = np.zeros(n)
+        # on-device metric accumulators (one readback per group per round)
+        acc = self._shard_clients({
+            "l": jnp.zeros((n_pad,), jnp.float32),
+            "c": jnp.zeros((n_pad,), jnp.float32),
+            "n": jnp.zeros((n_pad,), jnp.float32)})
         for _ in range(cfg.E):
             for chunk in Prefetcher(feeder.epoch_chunks()):
                 if n_pad != n:
@@ -273,10 +277,10 @@ class CreamflServer(FedAvgServer):
                 stacked, opt_state, (ls, cs, ns) = update_fn(
                     stacked, opt_state, chunk, rngs,
                     jnp.float32(self.curr_lr), gp)
-                ns_np = np.asarray(ns, np.float64)[:n]
-                loss_sums += (np.asarray(ls, np.float64)[:n] * ns_np).sum(1)
-                cor += np.asarray(cs, np.float64)[:n].sum(1)
-                cnt += ns_np.sum(1)
+                nsf = ns.astype(jnp.float32)
+                acc = {"l": acc["l"] + (ls.astype(jnp.float32) * nsf).sum(1),
+                       "c": acc["c"] + cs.astype(jnp.float32).sum(1),
+                       "n": acc["n"] + nsf.sum(1)}
             if do_pub:
                 for b in self._pub_batches():
                     self.key, k = jax.random.split(self.key)
@@ -298,6 +302,9 @@ class CreamflServer(FedAvgServer):
 
         from fedcola_tpu.federation.aux import fold_aux_into_upload
         upload = fold_aux_into_upload(mcfg, stacked)
+        loss_sums = np.asarray(acc["l"], np.float64)[:n]
+        cor = np.asarray(acc["c"], np.float64)[:n]
+        cnt = np.asarray(acc["n"], np.float64)[:n]
         metrics = {cid: {"loss": float(loss_sums[j] / max(cnt[j], 1)),
                          "acc1": float(cor[j] / max(cnt[j], 1))}
                    for j, cid in enumerate(ids)}
