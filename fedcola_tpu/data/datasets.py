@@ -37,6 +37,19 @@ import numpy as np
 
 from fedcola_tpu.data.tokenizer import WordPieceTokenizer
 
+_DECODE_POOL = None
+
+
+def _decode_pool():
+    """Shared decode thread pool (PIL releases the GIL around jpeg work);
+    one pool for the process instead of a fresh one per batch."""
+    global _DECODE_POOL
+    if _DECODE_POOL is None:
+        import concurrent.futures
+        _DECODE_POOL = concurrent.futures.ThreadPoolExecutor(
+            16, thread_name_prefix="img-decode")
+    return _DECODE_POOL
+
 
 @dataclass
 class TaskDataset:
@@ -80,9 +93,8 @@ class TaskDataset:
                                     np.uint8)
 
         if len(indices) > 8:
-            import concurrent.futures
-            with concurrent.futures.ThreadPoolExecutor(16) as pool:
-                list(pool.map(lambda ji: decode(*ji), enumerate(indices)))
+            list(_decode_pool().map(lambda ji: decode(*ji),
+                                    enumerate(indices)))
         else:
             for j, i in enumerate(indices):
                 decode(j, i)
@@ -104,15 +116,13 @@ class TaskDataset:
         pos = {p: i for i, p in enumerate(uniq)}
         store = np.zeros((len(uniq), size, size, 3), np.uint8)
         from PIL import Image
-        import concurrent.futures
 
         def decode(i, p):
             with Image.open(p) as im:
                 store[i] = np.asarray(im.convert("RGB").resize((size, size)),
                                       np.uint8)
 
-        with concurrent.futures.ThreadPoolExecutor(16) as pool:
-            list(pool.map(lambda ip: decode(*ip), enumerate(uniq)))
+        list(_decode_pool().map(lambda ip: decode(*ip), enumerate(uniq)))
         # dedup indirection: retrieval sets repeat each image 5x per caption
         self._image_row = np.asarray([pos[p] for p in self.image_paths])
         self._image_store = store
