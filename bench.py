@@ -82,7 +82,8 @@ def main():
     # beats dots_saveable / save_attn policies in this HBM-bound regime).
     cfg_fast = MATConfig(use_pallas=on_tpu, use_fused_mlp=on_tpu,
                          compute_dtype="bfloat16", **base)
-    cfg_ref = MATConfig(use_pallas=False, compute_dtype="float32", **base)
+    cfg_ref = MATConfig(use_pallas=False, compute_dtype="float32",
+                        remat_policy="full", **base)
     spec = GroupSpec(modality="img+txt", criterion="ContrastiveLoss",
                      imnorm=True)
     opt = OptimizerSpec(name="AdamW")

@@ -79,8 +79,10 @@ class MATConfig:
     remat: bool = True  # rematerialise block activations in the backward pass
     # 'full': store only per-layer inputs (min HBM, recompute everything);
     # 'save_attn': additionally store attention outputs, skipping the
-    # attention recompute in the backward pass (HBM/FLOP middle ground)
-    remat_policy: str = "full"
+    # attention recompute in the backward pass.  Swept on a real v5e with
+    # the bf16-operand kernels (scripts/perf_sweep.py): save_attn 1856 vs
+    # full 1735 vs no-remat 1836 samples/s — save_attn is the default.
+    remat_policy: str = "save_attn"
 
     @property
     def num_patches(self) -> int:
@@ -276,7 +278,9 @@ def _layer_norm(x, scale, bias, eps):
 
 
 def _drop_path(x, rate, rng, train: bool):
-    """Per-sample stochastic depth (timm DropPath semantics)."""
+    """Per-sample stochastic depth (timm DropPath semantics).  ``rate`` is
+    traced (a scanned per-layer value), so callers gate on the *static*
+    ``cfg.drop_path_rate == 0`` to skip the mask entirely."""
     if not train:
         return x
     keep = 1.0 - rate
@@ -308,6 +312,10 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
                train: bool, rng) -> jnp.ndarray:
     """Scan the stacked transformer layers over x: [B, N, D]."""
     dpr = jnp.asarray(cfg.drop_path_rates, dtype=jnp.float32)
+    # DropPath at rate 0 is the identity: skip the per-sublayer bernoulli
+    # mask + select entirely (the canonical configs train with rate 0, and
+    # the masks cost real VPU/HBM time on every residual join).
+    use_dp = cfg.drop_path_rate > 0
 
     def layer_fwd(h, layer, rate, rng_a, rng_m):
         if cfg.fused_attn_ok and jax.default_backend() == "tpu":
@@ -333,7 +341,7 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
         if cfg.remat_policy == "save_attn":
             from jax.ad_checkpoint import checkpoint_name
             a = checkpoint_name(a, "attn_out")
-        h = h + _drop_path(a, rate, rng_a, train)
+        h = h + (_drop_path(a, rate, rng_a, train) if use_dp else a)
         m = _layer_norm(h, layer["norm2_scale"], layer["norm2_bias"], 1e-5)
         if cfg.fused_mlp_ok and jax.default_backend() == "tpu":
             from fedcola_tpu.ops.fused_mlp import fused_mlp
@@ -350,7 +358,7 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
             m = jax.nn.gelu(m, approximate=False)  # torch default: exact erf
             m = m @ layer["fc2_kernel"].astype(m.dtype) \
                 + layer["fc2_bias"].astype(m.dtype)
-        h = h + _drop_path(m, rate, rng_m, train)
+        h = h + (_drop_path(m, rate, rng_m, train) if use_dp else m)
         return h
 
     if train:

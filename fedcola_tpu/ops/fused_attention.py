@@ -22,6 +22,7 @@ head_dim >= 8; sequence length is free (197 and 40 both used).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,20 +46,29 @@ def _ln_fwd(x, scale, bias, eps=1e-5):
 
 
 def _heads_fwd(qkv, D, H, hd, scale, dtype):
-    outs = []
-    ps = []
+    """Score matmul operands stay in the compute dtype (MXU bf16 rate);
+    the scale, softmax logits and probabilities are f32 (reference
+    mome.py:157-162 keeps scores/softmax in fp32)."""
+    # phase-separated: all score dots, then all softmaxes, then all AV dots
+    # — every dot in a phase is independent, so the scheduler can keep the
+    # MXU busy while the VPU runs the previous head's softmax
+    ss = []
     for h in range(H):
-        q = qkv[:, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
-        k = qkv[:, D + h * hd:D + (h + 1) * hd].astype(jnp.float32)
-        v = qkv[:, 2 * D + h * hd:2 * D + (h + 1) * hd].astype(dtype)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, D + h * hd:D + (h + 1) * hd]
+        ss.append(jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+                  * scale)
+    ps = []
+    for s in ss:
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True))
-        outs.append(jnp.dot(p.astype(dtype), v,
+        ps.append(e / jnp.sum(e, axis=-1, keepdims=True))
+    outs = []
+    for h in range(H):
+        v = qkv[:, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        outs.append(jnp.dot(ps[h].astype(dtype), v,
                             preferred_element_type=jnp.float32))
-        ps.append(p)
     return outs, ps
 
 
@@ -147,44 +157,56 @@ def _bwd_one(H, x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         outs, ps = _heads_fwd(qkv, D, H, hd, scale, dtype)
         cat = jnp.concatenate(outs, axis=1).astype(dtype)
 
-        # ---- projection backward
-        wproj = wproj_ref[0].astype(jnp.float32)
-        dwproj = jax.lax.dot_general(cat.astype(jnp.float32), da,
+        # ---- projection backward (matmul operands in the compute dtype —
+        # bf16 runs the MXU at ~4x its f32 rate on v5e; accumulation f32)
+        da_c = da.astype(dtype)
+        dwproj = jax.lax.dot_general(cat, da_c,
                                      (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
         dbproj = jnp.sum(da, axis=0, keepdims=True)
-        dcat = jax.lax.dot_general(da, wproj, (((1,), (1,)), ((), ())),
+        dcat = jax.lax.dot_general(da_c, wproj_ref[0].astype(dtype),
+                                   (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-        # ---- per-head attention backward
-        dqs, dks, dvs = [], [], []
+        # ---- per-head attention backward (softmax grad math stays f32),
+        # phase-separated like _heads_fwd so independent dots can overlap
+        # the VPU softmax-gradient work
+        dos = [dcat[:, hh * hd:(hh + 1) * hd].astype(dtype)
+               for hh in range(H)]
+        dvs = [jax.lax.dot_general(ps[hh].astype(dtype), dos[hh],
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+               for hh in range(H)]
+        dps = [jax.lax.dot_general(
+                   dos[hh], qkv[:, 2 * D + hh * hd:2 * D + (hh + 1) * hd],
+                   (((1,), (1,)), ((), ())),
+                   preferred_element_type=jnp.float32)
+               for hh in range(H)]
+        dss = []
         for hh in range(H):
-            q = qkv[:, hh * hd:(hh + 1) * hd].astype(jnp.float32)
-            k = qkv[:, D + hh * hd:D + (hh + 1) * hd].astype(jnp.float32)
-            v = qkv[:, 2 * D + hh * hd:2 * D + (hh + 1) * hd].astype(jnp.float32)
-            p = ps[hh]
-            do = dcat[:, hh * hd:(hh + 1) * hd]
-            dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+            p, dp = ps[hh], dps[hh]
             delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-            ds = p * (dp - delta)
-            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-            dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) * scale
-            dqs.append(dq); dks.append(dk); dvs.append(dv)
+            dss.append((p * (dp - delta)).astype(dtype))
+        dqs = [jnp.dot(dss[hh], qkv[:, D + hh * hd:D + (hh + 1) * hd],
+                       preferred_element_type=jnp.float32) * scale
+               for hh in range(H)]
+        dks = [jax.lax.dot_general(dss[hh], qkv[:, hh * hd:(hh + 1) * hd],
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32) * scale
+               for hh in range(H)]
         dqkv = jnp.concatenate(
             [jnp.concatenate(dqs, axis=1), jnp.concatenate(dks, axis=1),
-             jnp.concatenate(dvs, axis=1)], axis=1)      # [N, 3D]
+             jnp.concatenate(dvs, axis=1)], axis=1)      # [N, 3D] f32
 
         # ---- qkv projection backward
-        dwqkv = jax.lax.dot_general(h.astype(jnp.float32), dqkv,
+        dqkv_c = dqkv.astype(dtype)
+        dwqkv = jax.lax.dot_general(h, dqkv_c,
                                     (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
         dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
-        dh = jnp.dot(dqkv, wqkv.astype(jnp.float32).T,
-                     preferred_element_type=jnp.float32)
+        dh = jax.lax.dot_general(dqkv_c, wqkv,
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
 
         # ---- LayerNorm backward
         dg = dh * lns
@@ -205,18 +227,29 @@ def _bwd_one(H, x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
 # ------------------------------------------------------------ pallas calls --
 
-def _items_per_program(B: int, N: int, D: int) -> int:
-    """Amortise grid overhead: 2 items/program when VMEM allows and B is
-    even (the [N,3D] qkv + per-head score tiles are the budget)."""
+_FWD_VMEM_BUDGET = int(os.environ.get('FEDCOLA_ATTN_FWD_VMEM', 8 * 1024 * 1024))
+_BWD_VMEM_BUDGET = int(os.environ.get('FEDCOLA_ATTN_BWD_VMEM', 8 * 1024 * 1024))
+
+
+def _items_per_program(B: int, N: int, D: int, budget: int) -> int:
+    """Amortise grid and MXU-pipeline overhead: as many batch items per
+    program as the VMEM ``budget`` allows (the [N,3D] qkv + per-head score
+    tiles are the per-item cost).  More items per program = more independent
+    small dots for the scheduler to overlap with VPU softmax work — this is
+    where the win is for short sequences (N=40 text)."""
     per_item = N * 3 * D * 4 * 2 + 3 * N * N * 4
-    return 2 if (B % 2 == 0 and 2 * per_item < 8 * 1024 * 1024) else 1
+    best = 1
+    for ib in range(2, B + 1):
+        if B % ib == 0 and ib * per_item < budget:
+            best = ib
+    return best
 
 
 def _fwd_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj):
     """x: [n, B, N, D]; lns/lnb: [n, 1, D]; wqkv: [n, D, 3D];
     bqkv: [n, 1, 3D]; wproj: [n, D, D]; bproj: [n, 1, D]."""
     n, B, N, D = x.shape
-    IB = _items_per_program(B, N, D)
+    IB = _items_per_program(B, N, D, _FWD_VMEM_BUDGET)
     item = pl.BlockSpec((1, IB, N, D), lambda c, b: (c, b, 0, 0),
                         memory_space=pltpu.VMEM)
     per_c = lambda shape: pl.BlockSpec(
@@ -240,7 +273,7 @@ def _fwd_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj):
 
 def _bwd_call(H, x, lns, lnb, wqkv, bqkv, wproj, da):
     n, B, N, D = x.shape
-    IB = _items_per_program(B, N, D)
+    IB = _items_per_program(B, N, D, _BWD_VMEM_BUDGET)
     item = pl.BlockSpec((1, IB, N, D), lambda c, b: (c, b, 0, 0),
                         memory_space=pltpu.VMEM)
     per_c = lambda shape: pl.BlockSpec(

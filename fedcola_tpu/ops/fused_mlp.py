@@ -30,8 +30,12 @@ from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_FWD_ROWS = 512
-_BWD_ROWS = 128
+import os
+
+# Row-tile sizes swept on a real v5e at the ViT-small MAT shape
+# (scripts/perf_sweep.py): fwd 512 > 1024; bwd 256 > 128/384/512 (OOM).
+_FWD_ROWS = int(os.environ.get("FEDCOLA_MLP_FWD_ROWS", 512))
+_BWD_ROWS = int(os.environ.get("FEDCOLA_MLP_BWD_ROWS", 256))
 
 
 def _erf(x):
@@ -64,10 +68,13 @@ def _fwd_math(x, w1, b1, w2, b2, o_dtype):
 
 
 def _bwd_math(x, w1, b1, w2, do):
-    x = x.astype(jnp.float32)
-    w1 = w1.astype(jnp.float32)
-    w2 = w2.astype(jnp.float32)
-    do = do.astype(jnp.float32)
+    """Matmul *operands* stay in the compute dtype (bf16 on the fast path —
+    the MXU runs bf16 at ~4x its f32 rate on v5e); every accumulation and
+    all elementwise GELU-derivative math is f32."""
+    dt = x.dtype
+    w1 = w1.astype(dt)
+    w2 = w2.astype(dt)
+    do = do.astype(dt)
     pre = jnp.dot(x, w1, preferred_element_type=jnp.float32) \
         + b1.astype(jnp.float32)
     h = _gelu_exact(pre)
@@ -77,14 +84,15 @@ def _bwd_math(x, w1, b1, w2, do):
     cdf = 0.5 * (1.0 + _erf(pre * inv_sqrt2))
     pdf = jnp.exp(-0.5 * pre * pre) * 0.3989422804014327
     dpre = dh * (cdf + pre * pdf)
-    dx = jax.lax.dot_general(dpre, w1, (((1,), (1,)), ((), ())),
+    dpre_c = dpre.astype(dt)
+    dx = jax.lax.dot_general(dpre_c, w1, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dw1 = jax.lax.dot_general(x, dpre, (((0,), (0,)), ((), ())),
+    dw1 = jax.lax.dot_general(x, dpre_c, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     db1 = jnp.sum(dpre, axis=0, keepdims=True)
-    dw2 = jax.lax.dot_general(h, do, (((0,), (0,)), ((), ())),
+    dw2 = jax.lax.dot_general(h.astype(dt), do, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    db2 = jnp.sum(do, axis=0, keepdims=True)
+    db2 = jnp.sum(do.astype(jnp.float32), axis=0, keepdims=True)
     return dx, dw1, db1, dw2, db2
 
 
