@@ -1,27 +1,41 @@
-"""Benchmark: client-update throughput on the flagship config.
+"""Benchmark: the FedCola hot path on one TPU chip, honestly measured.
 
-Measures samples/sec/chip for the hot path of a FedCola round — multimodal
-(img+txt) client local updates on the ViT-small MAT with the scripts/coco.sh
-shape (B=96, 224px images, 40-token captions, AdamW, contrastive loss).
+Three figures:
 
-Two execution models on identical hardware:
-* **ours**: batched clients (vmapped+scanned local updates), bf16 compute,
-  fused Pallas attention, remat — the TPU-native architecture;
-* **baseline**: a faithful JAX re-creation of the reference's execution
-  model — clients trained one-at-a-time (thread-pool semantics,
-  fedavgserver.py:536-589), fp32 end-to-end, unfused XLA attention.
+1. **Headline** — client-update samples/sec/chip for multimodal (img+txt)
+   local training on the ViT-small MAT at the scripts/coco.sh shape
+   (B=96, 224px images, 40-token captions, AdamW, contrastive loss),
+   steady-state over a >=30 s timed window.
+   * ours: batched clients (vmapped+scanned), bf16 compute, fused Pallas
+     attention+MLP kernels, save_attn remat — the TPU-native architecture;
+   * baseline: a faithful JAX re-creation of the reference's execution
+     model — clients trained one-at-a-time (thread-pool semantics,
+     fedavgserver.py:536-589), fp32 end-to-end, unfused XLA attention.
+2. **MFU** — model FLOPs utilisation: analytic matmul FLOPs of the MAT
+   forward (FLOPs = 2*MACs) x3 for fwd+bwd, divided by the v5e bf16 peak
+   (197 TFLOP/s).  Counts *useful* model FLOPs only — remat recompute,
+   optimizer and data preprocessing are excluded, so this is conservative.
+3. **Full round** — wall-clock seconds for one complete FedAvg round
+   (feeder + batched updates for img/txt/mm groups + aggregation + central
+   eval incl. retrieval) through the production server on synthetic data
+   at the scripts/coco.sh population shape (12 img + 12 txt + 8 mm
+   clients, C=0.25, E=5, B=96).  Set FEDCOLA_BENCH_FULLROUND=0 to skip.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N,
+   "mfu": f, "round_seconds": s, "round_samples_per_sec": r}
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+MIN_TIMED_SECONDS = 30.0
 
 
 def _make_chunk(rng, n, S, B, img=224, L=40, V=30522):
@@ -33,12 +47,13 @@ def _make_chunk(rng, n, S, B, img=224, L=40, V=30522):
     }
 
 
-def _time_chunks(update_fn, stacked, opt_state, chunks, rngs, lr, gp):
+def _time_chunks(update_fn, stacked, opt_state, chunks, rngs, lr, gp,
+                 min_seconds):
     """Times steady-state device execution: chunks are staged into HBM
     before the clock starts (the production feeder overlaps staging with
-    compute via its prefetch thread)."""
+    compute via its prefetch thread), then cycled until ``min_seconds`` of
+    timed work have elapsed."""
     import jax
-    import numpy as np
     chunks = [jax.device_put(c) for c in chunks]
     jax.block_until_ready(chunks)
     # warmup/compile; the scalar host readback forces true synchronization
@@ -47,26 +62,49 @@ def _time_chunks(update_fn, stacked, opt_state, chunks, rngs, lr, gp):
     stacked, opt_state, out = update_fn(stacked, opt_state, chunks[0], rngs,
                                         lr, gp)
     np.asarray(out[0])
+    # calibrate: one timed chunk -> reps for the requested window
     t0 = time.perf_counter()
-    for ch in chunks[1:]:
-        stacked, opt_state, out = update_fn(stacked, opt_state, ch, rngs,
+    stacked, opt_state, out = update_fn(stacked, opt_state, chunks[0], rngs,
+                                        lr, gp)
+    np.asarray(out[0])
+    per_chunk = time.perf_counter() - t0
+    reps = max(int(min_seconds / max(per_chunk, 1e-6)) + 1, len(chunks))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        stacked, opt_state, out = update_fn(stacked, opt_state,
+                                            chunks[i % len(chunks)], rngs,
                                             lr, gp)
     np.asarray(out[0])
-    return time.perf_counter() - t0
+    return (time.perf_counter() - t0) / reps
 
 
-def main():
+def mat_fwd_flops(depth, D, mlp_ratio, n_img_tokens, n_txt_tokens,
+                  patch_dim):
+    """Analytic matmul FLOPs (2*MACs) of one MAT forward on one img+txt
+    sample pair.  Embeddings' table lookups and LayerNorms excluded."""
+    H = int(D * mlp_ratio)
+    total = 2 * (n_img_tokens - 1) * patch_dim * D  # conv patchify
+    for N in (n_img_tokens, n_txt_tokens):
+        per_layer = (2 * N * D * 3 * D        # qkv
+                     + 2 * N * N * D          # scores (all heads)
+                     + 2 * N * N * D          # attn @ v
+                     + 2 * N * D * D          # out proj
+                     + 4 * N * D * H)         # fc1 + fc2
+        total += depth * per_layer
+    return total
+
+
+def headline(on_tpu):
     import jax
     import jax.numpy as jnp
     from fedcola_tpu.models.mat import MATConfig, init_mat
     from fedcola_tpu.parallel.client_update import GroupSpec, build_group_update
     from fedcola_tpu.parallel.optim import OptimizerSpec, init_opt_state
 
-    on_tpu = jax.default_backend() == "tpu"
     n_clients, S, B = 2, 4, 96
-    n_timed_chunks = 3
+    min_s = MIN_TIMED_SECONDS
     if not on_tpu:  # CPU smoke: shrink everything
-        n_clients, S, B, n_timed_chunks = 2, 2, 4, 1
+        n_clients, S, B, min_s = 2, 2, 4, 0.0
 
     base = dict(modalities=("img", "txt"), tasks=("rtv", "rtv"),
                 num_classes=(None, None), img_size=224, patch_size=16,
@@ -76,12 +114,9 @@ def main():
         base.update(img_size=32, embed_dim=16, depth=2, num_heads=2,
                     vocab_size=64, max_text_len=8)
 
-    # measured on v5e (n=2, B=96): the fused attention-sublayer
-    # (LN1+qkv+attn+proj) + fused MLP Pallas kernels reach 1629 samples/s
-    # vs 1031 pure-XLA bf16 and 1047 reference-style fp32 (full remat
-    # beats dots_saveable / save_attn policies in this HBM-bound regime).
     cfg_fast = MATConfig(use_pallas=on_tpu, use_fused_mlp=on_tpu,
                          compute_dtype="bfloat16", **base)
+    # the reference stores activations (no remat) and runs fp32 unfused
     cfg_ref = MATConfig(use_pallas=False, compute_dtype="float32",
                         remat_policy="full", **base)
     spec = GroupSpec(modality="img+txt", criterion="ContrastiveLoss",
@@ -91,8 +126,7 @@ def main():
     rng = np.random.RandomState(0)
     L = base["max_text_len"]; V = base["vocab_size"]; IMG = base["img_size"]
 
-    chunks = [_make_chunk(rng, n_clients, S, B, IMG, L, V)
-              for _ in range(n_timed_chunks + 1)]
+    chunks = [_make_chunk(rng, n_clients, S, B, IMG, L, V) for _ in range(3)]
 
     # ---- ours: batched clients, bf16 + pallas ----
     params = init_mat(cfg_fast, jax.random.PRNGKey(0))
@@ -103,9 +137,9 @@ def main():
     update_fast = build_group_update(cfg_fast, spec, opt, None)
     rngs = jax.random.split(jax.random.PRNGKey(1), n_clients)
     t_fast = _time_chunks(update_fast, stacked, opt_state, chunks, rngs,
-                          lr, params)
-    samples = n_clients * S * B * n_timed_chunks
-    ours = samples / t_fast
+                          lr, params, min_s)
+    samples_per_chunk = n_clients * S * B
+    ours = samples_per_chunk / t_fast
 
     # ---- baseline: sequential clients, fp32, unfused ----
     params_ref = init_mat(cfg_ref, jax.random.PRNGKey(0))
@@ -118,8 +152,79 @@ def main():
         sub_chunks = [{k: v[c:c + 1] for k, v in ch.items()} for ch in chunks]
         r1 = jax.random.split(jax.random.PRNGKey(2 + c), 1)
         t_ref_total += _time_chunks(update_ref, p1, o1, sub_chunks, r1,
-                                    lr, params_ref)
-    ref = samples / t_ref_total
+                                    lr, params_ref, min_s / 2)
+    ref = samples_per_chunk / t_ref_total
+
+    # ---- MFU (useful model FLOPs; v5e bf16 peak = 197 TFLOP/s) ----
+    P = base["patch_size"]
+    n_img_tok = (base["img_size"] // P) ** 2 + 1
+    fwd = mat_fwd_flops(base["depth"], base["embed_dim"], 4.0,
+                        n_img_tok, L, P * P * 3)
+    step_flops = 3 * fwd                      # fwd + bwd(2x)
+    peak = 197e12 if on_tpu else float("nan")
+    mfu = ours * step_flops / peak
+    return ours, ref, mfu, step_flops
+
+
+def full_round(on_tpu):
+    """One production FedAvg round at the scripts/coco.sh population shape
+    on synthetic data: feeder + 3 group update programs + aggregation +
+    central eval (acc + retrieval).  Times the second round (first pays
+    jit compile)."""
+    from fedcola_tpu.config import ExperimentConfig, check_args
+    from fedcola_tpu.data.loaders import load_federated_data
+    from fedcola_tpu.federation.server import create_server
+
+    kw = dict(
+        exp_name="bench_round", seed=1, multi_task=True,
+        datasets=["CIFAR100", "AG_NEWS", "Coco", "Coco"],
+        modalities=["img", "txt", "img+txt", "img+txt"],
+        Ks=[12, 12, 8], Cs=[0.25], K=32, R=2, E=5, B=96,
+        eval_batch_size=512, optimizer="AdamW", lr=1e-4, lr_decay=0.99,
+        lr_decay_step=1, criterion="CrossEntropyLoss", eval_type="global",
+        eval_every=1, split_type="diri", cncntrtn=0.5, test_size=-1,
+        model_name="mome_small_patch16", resize=224, imnorm=True,
+        seq_len=40, equal_sampled=True, synthetic_data=True,
+        mesh_shape=[1],
+    )
+    if not on_tpu:
+        kw.update(model_name="mome_test_patch16_32", resize=32, B=8, E=1,
+                  eval_batch_size=64, seq_len=8, vocab_size=120)
+    cfg = check_args(ExperimentConfig(**kw))
+    data = load_federated_data(cfg, np.random.RandomState(cfg.seed))
+    server = create_server(cfg, data)
+    server.round = 1
+    server.update()                      # compiles everything
+    server.evaluate([])
+    n_samples = 0
+    t0 = time.perf_counter()
+    server.round = 2
+    sampled = server.update()
+    server.evaluate([])
+    dt = time.perf_counter() - t0
+    for cid in sampled:
+        n_samples += server.clients[cid].n_train * cfg.E
+    return dt, n_samples / dt
+
+
+def main():
+    os.environ.setdefault("JAX_PLATFORMS", "")
+    import jax
+    on_tpu = jax.default_backend() == "tpu"
+
+    ours, ref, mfu, step_flops = headline(on_tpu)
+    print(f"[bench] headline ours={ours:.2f} baseline={ref:.2f} samples/s "
+          f"mfu={mfu:.3f} (backend={jax.default_backend()}, "
+          f"step_flops={step_flops/1e9:.1f} GF/sample)", file=sys.stderr)
+
+    round_s, round_sps = float("nan"), float("nan")
+    if os.environ.get("FEDCOLA_BENCH_FULLROUND", "1") != "0":
+        import logging
+        logging.disable(logging.WARNING)
+        round_s, round_sps = full_round(on_tpu)
+        print(f"[bench] full round: {round_s:.2f} s "
+              f"({round_sps:.1f} samples/s incl. feed+agg+eval)",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "mm client-update samples/sec/chip "
@@ -128,10 +233,10 @@ def main():
         "value": round(ours, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(ours / ref, 3),
+        "mfu": round(mfu, 4),
+        "round_seconds": round(round_s, 2),
+        "round_samples_per_sec": round(round_sps, 1),
     }))
-    print(f"[bench] ours={ours:.2f} baseline={ref:.2f} samples/s "
-          f"(backend={jax.default_backend()}, n={n_clients}, B={B}, S={S})",
-          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -204,6 +204,7 @@ class ExperimentConfig:
     compute_dtype: str = "bfloat16"
     checkpoint_every: int = 0                # 0 = only final (reference parity)
     profile_every: int = 0                   # jax.profiler trace every N rounds
+    detect_anomaly: bool = False             # jax_debug_nans op-level tracing
     synthetic_data: bool = False             # synthetic data plane (benchmarks)
     wandb: bool = False
     num_classes: Optional[int] = None        # filled by the data plane
@@ -352,6 +353,7 @@ def _add_tpu_flags(p: argparse.ArgumentParser) -> None:
     add("--compute_dtype", type=str, default="bfloat16")
     add("--checkpoint_every", type=int, default=0)
     add("--profile_every", type=int, default=0)
+    add("--detect_anomaly", action="store_true")
     add("--synthetic_data", action="store_true")
     add("--wandb", action="store_true")
 

@@ -366,7 +366,11 @@ def fetch_dataset(name: str, root: str, train: bool,
         return fetch_synthetic(
             name, DATASET_2_MODALITY[name], DATASET_2_TASK[name], n,
             NUM_CLASS[name],
-            img_hw=image_size or (32 if name == "CIFAR100" else 224),
+            # synthetic stand-ins keep the real dataset's NATIVE storage
+            # size (CIFAR pickles are 32px; the device resizes, just like
+            # the real path) — shipping pre-resized pixels would both
+            # misrepresent host traffic and waste the slow host link
+            img_hw=32 if name == "CIFAR100" else (image_size or 224),
             seq_len=seq_len,
             vocab_size=tokenizer.vocab_size if tokenizer else 30522,
             seed=hash((name, train)) % (2 ** 31))

@@ -182,6 +182,20 @@ class GroupFeeder:
         self.max_steps = int(self.steps_per_client.max())
         self.debug_two_batches = debug_two_batches
 
+    @staticmethod
+    def _bucket(steps: int, chunk_steps: int) -> int:
+        """Pad a ragged tail chunk up to the next power-of-two bucket
+        (capped at ``chunk_steps``).  Chunk shapes feed jitted programs:
+        without bucketing, every round's sampled-client mix yields a new
+        max-step count -> a new (n, S) shape -> a fresh XLA compile (tens
+        of seconds on TPU, every round).  With it, a group compiles at most
+        log2(chunk_steps)+1 step-count variants, ever; padded steps are
+        exact no-ops via ``step_valid``."""
+        b = 1
+        while b < steps:
+            b *= 2
+        return min(b, chunk_steps)
+
     def epoch_chunks(self) -> Iterator[Dict[str, np.ndarray]]:
         """Yield chunks of stacked batches covering one epoch."""
         B, S = self.B, self.max_steps
@@ -194,32 +208,130 @@ class GroupFeeder:
 
         for start in range(0, S, self.chunk_steps):
             stop = min(start + self.chunk_steps, S)
-            Sc = stop - start
+            stop_padded = start + self._bucket(stop - start, self.chunk_steps)
             chunk_per_client = []
             for c, shard in enumerate(self.shards):
                 batches = []
-                for s in range(start, stop):
+                pad_batch = None       # zeros; shared across masked steps
+                for s in range(start, stop_padded):
                     if s < self.steps_per_client[c]:
                         idx = orders[c][s * B:(s + 1) * B]
                         b = _gather_batch(shard.dataset, idx, B,
                                           self.modality, self.aug, self.rng)
                     else:
-                        idx = orders[c][:1] if shard.n else np.array([0])
-                        b = _gather_batch(shard.dataset, idx, B,
-                                          self.modality, self.aug, self.rng)
-                        b["valid"][:] = False
+                        if pad_batch is None:
+                            idx = orders[c][:1] if shard.n else np.array([0])
+                            one = _gather_batch(shard.dataset, idx, 1,
+                                                self.modality)
+                            pad_batch = {
+                                k: np.zeros((B,) + v.shape[1:], v.dtype)
+                                for k, v in one.items()}
+                        b = pad_batch
                     batches.append(b)
                 stacked = {k: np.stack([b[k] for b in batches])
                            for k in batches[0]}
                 stacked["step_valid"] = (
-                    np.arange(start, stop) < self.steps_per_client[c])
+                    np.arange(start, stop_padded) < self.steps_per_client[c])
                 chunk_per_client.append(stacked)
             yield {k: np.stack([cc[k] for cc in chunk_per_client])
                    for k in chunk_per_client[0]}
 
     def round_chunks(self, epochs: int) -> Iterator[Dict[str, np.ndarray]]:
-        for _ in range(epochs):
-            yield from self.epoch_chunks()
+        """Stream all ``epochs`` local epochs as fixed-shape chunks.
+
+        Each client advances through its own reshuffled epochs
+        independently (exactly the reference's per-client
+        ``for e in range(E): for batch in loader`` loops,
+        fedavgclient.py:67-75 — clients never epoch-sync with each other);
+        the concatenated step stream is cut into chunks of exactly
+        ``chunk_steps``.  One (n_clients, chunk_steps) chunk shape per
+        group means the jitted update program compiles ONCE per group,
+        no matter which clients are sampled in later rounds; only the
+        round's final chunk carries padded (masked, exact-no-op) steps."""
+        B = self.B
+        streams: List[List[np.ndarray]] = []
+        for c, shard in enumerate(self.shards):
+            steps: List[np.ndarray] = []
+            for _ in range(epochs):
+                order = shard.indices.copy()
+                if self.shuffle:
+                    self.rng.shuffle(order)
+                for s in range(self.steps_per_client[c]):
+                    steps.append(order[s * B:(s + 1) * B])
+            streams.append(steps)
+        totals = [len(st) for st in streams]
+        max_total = max(totals)
+        Sc = self.chunk_steps
+        n_chunks = -(-max_total // Sc)
+        for ci in range(n_chunks):
+            lo = ci * Sc
+            chunk_per_client = []
+            for c in range(len(self.shards)):
+                ds = self.shards[c].dataset
+                batches = []
+                pad_batch = None
+                for s in range(lo, lo + Sc):
+                    if s < totals[c]:
+                        b = _gather_batch(ds, streams[c][s], B,
+                                          self.modality, self.aug, self.rng)
+                    else:
+                        if pad_batch is None:
+                            one = _gather_batch(
+                                ds, streams[c][0][:1] if totals[c]
+                                else np.array([0]), 1, self.modality)
+                            pad_batch = {
+                                k: np.zeros((B,) + v.shape[1:], v.dtype)
+                                for k, v in one.items()}
+                        b = pad_batch
+                    batches.append(b)
+                stacked = {k: np.stack([b[k] for b in batches])
+                           for k in batches[0]}
+                stacked["step_valid"] = np.arange(lo, lo + Sc) < totals[c]
+                chunk_per_client.append(stacked)
+            yield {k: np.stack([cc[k] for cc in chunk_per_client])
+                   for k in chunk_per_client[0]}
+
+
+    def round_index_chunks(self, epochs: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Index-only variant of :meth:`round_chunks` for the HBM-resident
+        data plane: yields ``{"idx": [n, chunk_steps, B] int32, "valid",
+        "step_valid"}`` — the actual rows are gathered ON DEVICE from
+        dataset arrays staged once into HBM.  This collapses per-round
+        host->device traffic from gigabytes of pixels to kilobytes of
+        indices (the host link is orders of magnitude slower than HBM).
+        Same per-client independent epoch streaming as round_chunks."""
+        B = self.B
+        streams: List[List[np.ndarray]] = []
+        for c, shard in enumerate(self.shards):
+            steps: List[np.ndarray] = []
+            for _ in range(epochs):
+                order = shard.indices.copy()
+                if self.shuffle:
+                    self.rng.shuffle(order)
+                for s in range(self.steps_per_client[c]):
+                    steps.append(order[s * B:(s + 1) * B])
+            streams.append(steps)
+        totals = [len(st) for st in streams]
+        max_total = max(totals)
+        Sc = self.chunk_steps
+        n = len(self.shards)
+        for ci in range(-(-max_total // Sc)):
+            lo = ci * Sc
+            idx = np.zeros((n, Sc, B), np.int32)
+            valid = np.zeros((n, Sc, B), bool)
+            step_valid = np.zeros((n, Sc), bool)
+            for c in range(n):
+                for j in range(Sc):
+                    s = lo + j
+                    if s >= totals[c]:
+                        continue
+                    rows = streams[c][s]
+                    idx[c, j, :len(rows)] = rows
+                    if len(rows) < B and len(rows):
+                        idx[c, j, len(rows):] = rows[0]
+                    valid[c, j, :len(rows)] = True
+                    step_valid[c, j] = True
+            yield {"idx": idx, "valid": valid, "step_valid": step_valid}
 
 
 class Prefetcher:

@@ -28,7 +28,7 @@ import os
 import random
 import time
 from collections import defaultdict
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +107,7 @@ class FedAvgServer:
         # batch parallelism; eval batches shard over the flattened mesh.
         from fedcola_tpu.parallel.mesh import MeshPlan
         self.mesh_plan = MeshPlan.build(cfg.mesh_shape, cfg.mesh_axes)
+        self._resident_cache: Dict[str, Optional[Dict]] = {}
         self.mesh = self.mesh_plan.mesh
         if self.mesh is not None:
             logger.info("[MESH] %s over %d devices",
@@ -156,6 +157,46 @@ class FedAvgServer:
         """Stacked client axes must divide the mesh's client axis."""
         return self.mesh_plan.pad_clients(n)
 
+    def _resident_data(self, ds: str, spec) -> Optional[Dict]:
+        """Stage a dataset's train arrays into HBM once (replicated over the
+        mesh) for the on-device-gather data plane; returns None when the
+        dataset doesn't qualify (host-side augmentation active — handled by
+        the caller, lazily-decoded images, or over the byte budget).  The
+        host link is the slowest wire in the system (PCIe at best, a
+        network tunnel at worst), so shipping the dataset once and
+        gathering per-step batches on device replaces gigabytes of
+        per-round pixel traffic with kilobyte index maps."""
+        if ds in self._resident_cache:
+            return self._resident_cache[ds]
+        train = self.data.client_shards[
+            [i for i in range(self.data.K)
+             if self.client_dataset_of[i] == ds][0]].dataset
+        arrays = {}
+        if "img" in spec.modality:
+            if train.images is None:
+                self._resident_cache[ds] = None   # lazy-decode datasets
+                return None
+            arrays["img"] = train.images
+        if "txt" in spec.modality:
+            arrays["txt"] = np.asarray(train.texts, np.int32)
+        if spec.modality != "img+txt":
+            arrays["tgt"] = np.asarray(train.targets, np.int32)
+        budget = int(os.environ.get("FEDCOLA_RESIDENT_BUDGET",
+                                    6 * 1024 ** 3))
+        total = sum(a.nbytes for a in arrays.values())
+        if total > budget:
+            logger.info("[DATA] %s stays host-fed (%.2f GB > %.2f GB "
+                        "resident budget)", ds, total / 1e9, budget / 1e9)
+            self._resident_cache[ds] = None
+            return None
+        dev = {k: self.mesh_plan.replicate(jnp.asarray(v))
+               for k, v in arrays.items()}
+        jax.block_until_ready(dev)
+        logger.info("[DATA] %s staged HBM-resident (%.1f MB); per-round "
+                    "host traffic is now index maps only", ds, total / 1e6)
+        self._resident_cache[ds] = dev
+        return dev
+
     def _shard_clients(self, tree):
         return self.mesh_plan.shard_client_tree(tree)
 
@@ -172,7 +213,6 @@ class FedAvgServer:
         opt_state = init_opt_state(self.opt_spec, stacked)
         opt_state["t"] = jnp.zeros((n_pad,), jnp.int32)  # per-client steps
         frozen = self._frozen_token(ds, spec.modality)
-        update_fn = build_group_update(mcfg, spec, self.opt_spec, frozen)
 
         shards = [self.data.client_shards[i] for i in ids]
         from fedcola_tpu.data.pipeline import AugmentSpec
@@ -185,6 +225,9 @@ class FedAvgServer:
                              shuffle=not cfg.no_shuffle,
                              rng=self.shuffle_rng,
                              debug_two_batches=cfg.debug, aug=aug)
+        data_dev = None if aug is not None else self._resident_data(ds, spec)
+        update_fn = build_group_update(mcfg, spec, self.opt_spec, frozen,
+                                       resident=data_dev is not None)
         gp = self.global_params[ds]
         # per-client metric accumulators stay ON DEVICE for the whole round:
         # a host readback per chunk would cap the dispatch queue at one
@@ -194,7 +237,9 @@ class FedAvgServer:
             "l": jnp.zeros((n_pad,), jnp.float32),
             "c": jnp.zeros((n_pad,), jnp.float32),
             "n": jnp.zeros((n_pad,), jnp.float32)})
-        for chunk in Prefetcher(feeder.round_chunks(cfg.E)):
+        chunks = feeder.round_index_chunks(cfg.E) if data_dev is not None \
+            else feeder.round_chunks(cfg.E)
+        for chunk in Prefetcher(chunks):
             if n_pad != n:
                 # mesh-padding clients: zero rows, all steps masked off
                 chunk = {k: np.concatenate(
@@ -203,9 +248,14 @@ class FedAvgServer:
             chunk = self.mesh_plan.shard_chunk(chunk)
             self.key, k = jax.random.split(self.key)
             rngs = self._shard_clients(jax.random.split(k, n_pad))
-            stacked, opt_state, (ls, cs, ns) = update_fn(
-                stacked, opt_state, chunk, rngs,
-                jnp.float32(self.curr_lr), gp)
+            if data_dev is not None:
+                stacked, opt_state, (ls, cs, ns) = update_fn(
+                    stacked, opt_state, chunk, rngs,
+                    jnp.float32(self.curr_lr), gp, data_dev)
+            else:
+                stacked, opt_state, (ls, cs, ns) = update_fn(
+                    stacked, opt_state, chunk, rngs,
+                    jnp.float32(self.curr_lr), gp)
             nsf = ns.astype(jnp.float32)
             acc = {"l": acc["l"] + (ls.astype(jnp.float32) * nsf).sum(1),
                    "c": acc["c"] + cs.astype(jnp.float32).sum(1),
@@ -214,6 +264,20 @@ class FedAvgServer:
         loss_sums = np.asarray(acc["l"], np.float64)[:n]
         cor = np.asarray(acc["c"], np.float64)[:n]
         cnt = np.asarray(acc["n"], np.float64)[:n]
+        # numerics sanitizer (the reference runs under
+        # torch.autograd.set_detect_anomaly(True), main.py:307): the
+        # per-round readback is the natural guard point — a NaN/inf loss
+        # poisons aggregation for every client of the dataset, so fail
+        # loudly with the offending clients named.  --detect_anomaly
+        # additionally enables jax_debug_nans for op-level tracing.
+        bad = ~np.isfinite(loss_sums)
+        if bad.any():
+            raise FloatingPointError(
+                f"non-finite training loss in round {self.round} for "
+                f"dataset {ds!r}, clients "
+                f"{[ids[j] for j in np.nonzero(bad)[0]]} "
+                f"(lr={self.curr_lr:.3g}; rerun with --detect_anomaly for "
+                f"op-level NaN tracing)")
         metrics = {cid: {"loss": float(loss_sums[j] / max(cnt[j], 1)),
                          "acc1": float(cor[j] / max(cnt[j], 1))}
                    for j, cid in enumerate(ids)}
@@ -352,7 +416,8 @@ class FedAvgServer:
                 mm = MetricManager(cfg.eval_metrics)
                 # eval batches shard over the whole mesh (the reference's
                 # equivalent DataParallel axis, fedavgclient.py:60-61)
-                B = self.mesh_plan.pad_eval_batch(cfg.B)
+                B = self.mesh_plan.pad_eval_batch(cfg.eval_batch_size
+                                                  or cfg.B)
                 params_dev = self.mesh_plan.replicate(params)
                 from fedcola_tpu.ops.losses import cross_entropy
                 n = test.n

@@ -140,10 +140,18 @@ def _local_loss(cfg: MATConfig, spec: GroupSpec, params, batch,
 
 @functools.lru_cache(maxsize=32)
 def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
-                       frozen_token: Optional[Tuple[Tuple[str, ...], ...]] = None):
+                       frozen_token: Optional[Tuple[Tuple[str, ...], ...]] = None,
+                       resident: bool = False):
     """Compile the vmapped chunk-update for one (model, group, optimizer,
     freeze-mask) combination.  ``frozen_token``: tuple of frozen leaf paths
-    (hashable stand-in for the mask pytree)."""
+    (hashable stand-in for the mask pytree).
+
+    ``resident=True`` builds the **HBM-resident data plane** variant: the
+    chunk carries ``idx [S, B] int32`` per client instead of gathered
+    rows, and the update takes an extra ``data`` dict of whole-dataset
+    device arrays (``img``/``txt``/``tgt``), shared (not vmapped) across
+    clients; each scan step gathers its batch on device.  Per-round
+    host->device traffic becomes indices instead of pixels."""
 
     def make_frozen_mask(params):
         frozen_set = set(frozen_token or ())
@@ -164,7 +172,24 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
 
         return walk(params, ())
 
-    def chunk_fn(params, opt_state, chunk, rng, lr, global_params):
+    def gather_batch(step, data):
+        """Device-side row gather for the resident plane (step carries
+        ``idx [B]`` + ``valid [B]``)."""
+        idx = step["idx"]
+        batch = {"valid": step["valid"]}
+        if spec.modality == "img":
+            batch["x"] = jnp.take(data["img"], idx, axis=0)
+            batch["y"] = jnp.take(data["tgt"], idx, axis=0)
+        elif spec.modality == "txt":
+            batch["x"] = jnp.take(data["txt"], idx, axis=0)
+            batch["y"] = jnp.take(data["tgt"], idx, axis=0)
+        else:  # img+txt: token ids ride the target slot
+            batch["x"] = jnp.take(data["img"], idx, axis=0)
+            batch["y"] = jnp.take(data["txt"], idx, axis=0)
+        return batch
+
+    def chunk_fn(params, opt_state, chunk, rng, lr, global_params,
+                 data=None):
         """chunk: dict of [S, ...] arrays + step_valid [S].  Returns updated
         (params, opt_state) and per-step (loss, correct, n_valid)."""
         frozen = make_frozen_mask(params)
@@ -174,6 +199,8 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
         def body(carry, xs):
             p, st = carry
             batch, sv, r = xs
+            if resident:
+                batch = gather_batch(batch, data)
             grad_fn = jax.value_and_grad(
                 lambda pp: _local_loss(cfg, spec, pp, batch, r, global_params),
                 has_aux=True)
@@ -187,7 +214,10 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
             body, (params, opt_state), (batches, chunk["step_valid"], rngs))
         return params, opt_state, (loss_s, cor_s, nv_s)
 
-    vmapped = jax.vmap(chunk_fn, in_axes=(0, 0, 0, 0, None, None))
+    if resident:
+        vmapped = jax.vmap(chunk_fn, in_axes=(0, 0, 0, 0, None, None, None))
+    else:
+        vmapped = jax.vmap(chunk_fn, in_axes=(0, 0, 0, 0, None, None))
     return jax.jit(vmapped, donate_argnums=(0, 1))
 
 

@@ -57,6 +57,13 @@ def main(argv=None):
     from fedcola_tpu.utils import set_logger, set_seed
 
     cfg = parse_args(argv)
+    if cfg.detect_anomaly:
+        # op-level NaN tracing, the jax analog of the reference's
+        # torch.autograd.set_detect_anomaly(True) (main.py:307); the
+        # always-on round-level loss-finiteness guard lives in
+        # FedAvgServer._train_group
+        import jax
+        jax.config.update("jax_debug_nans", True)
     os.makedirs(cfg.log_path, exist_ok=True)
     logger = set_logger(os.path.join(
         cfg.log_path, f"{cfg.exp_name}_{time.strftime('%y%m%d_%H%M%S')}.log"))

@@ -105,3 +105,28 @@ def test_upload_vs_required_names():
     aux = naming.aux_param_names(cfg)
     assert all("aux_weight" in n for _, n in aux)
     assert len(aux) == 4  # qkv, proj, fc1, fc2
+
+
+def test_nan_guard_names_offending_clients():
+    """The per-round loss readback raises (reference analog:
+    torch.autograd.set_detect_anomaly, main.py:307) when a client's
+    training loss goes non-finite, naming dataset and clients."""
+    from fedcola_tpu.data.loaders import load_federated_data
+    from fedcola_tpu.federation.server import create_server
+
+    cfg = check_args(ExperimentConfig(
+        exp_name="nan", seed=3, multi_task=True,
+        datasets=["MedicalAbstracts", "MedicalAbstracts"],
+        modalities=["txt", "txt"], Ks=[2], Cs=[1.0], K=2,
+        R=1, E=3, B=16, eval_batch_size=32, optimizer="SGD",
+        lr=1e20,  # diverges within the first local epochs
+        criterion="CrossEntropyLoss", eval_type="global",
+        model_name="mome_test_patch16_32", seq_len=8,
+        split_type="iid", synthetic_data=True, use_pallas=False,
+        compute_dtype="float32", equal_sampled=True,
+        train_chunk_steps=4, resize=32, vocab_size=40, mesh_shape=[1]))
+    data = load_federated_data(cfg, np.random.RandomState(0))
+    server = create_server(cfg, data)
+    server.round = 1
+    with pytest.raises(FloatingPointError, match="MedicalAbstracts"):
+        server.update()

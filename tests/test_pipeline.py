@@ -70,8 +70,11 @@ def test_augmentation_shapes_and_determinism():
                          shuffle=False, rng=np.random.RandomState(3),
                          aug=aug)
     chunk = next(iter(feeder.epoch_chunks()))
-    assert chunk["x"].shape == (1, 5, 8, 32, 32, 3)
+    # 5 real steps, tail bucketed up to chunk_steps=8 (fixed program shapes)
+    assert chunk["x"].shape == (1, 8, 8, 32, 32, 3)
     assert chunk["x"].dtype == np.uint8
+    assert chunk["step_valid"][0].tolist() == [True] * 5 + [False] * 3
+    assert not chunk["valid"][0, 5:].any()
 
 
 def test_rotation_matches_pil_nearest():
@@ -148,3 +151,25 @@ def test_prefetcher_propagates_feeder_exceptions():
             got.append(item)
     assert got == [1, 2]
     assert not pf.thread.is_alive()
+
+
+def test_round_index_chunks_match_gathered_chunks():
+    """The HBM-resident index plane must describe exactly the same batches
+    as the gathered plane: images[idx] == x, same masks, same epoch
+    streaming."""
+    ds = fetch_synthetic("CIFAR100", "img", "cls", 50, 10, img_hw=8, seed=2)
+    mk = lambda: GroupFeeder(
+        [ClientShard(ds, np.arange(30)), ClientShard(ds, np.arange(30, 50))],
+        B=8, modality="img", chunk_steps=4, shuffle=True,
+        rng=np.random.RandomState(7))
+    gathered = list(mk().round_chunks(2))
+    indexed = list(mk().round_index_chunks(2))
+    assert len(gathered) == len(indexed)
+    for g, ix in zip(gathered, indexed):
+        np.testing.assert_array_equal(g["step_valid"], ix["step_valid"])
+        np.testing.assert_array_equal(g["valid"], ix["valid"])
+        np.testing.assert_array_equal(
+            g["x"][ix["valid"]], ds.images[ix["idx"]][ix["valid"]])
+        np.testing.assert_array_equal(
+            g["y"][ix["valid"]],
+            ds.targets[ix["idx"]][ix["valid"]].astype(np.int32))
