@@ -179,13 +179,13 @@ def full_round(on_tpu):
         exp_name="bench_round", seed=1, multi_task=True,
         datasets=["CIFAR100", "AG_NEWS", "Coco", "Coco"],
         modalities=["img", "txt", "img+txt", "img+txt"],
-        Ks=[12, 12, 8], Cs=[0.25], K=32, R=2, E=5, B=96,
+        Ks=[12, 12, 8], Cs=[0.25], K=32, E=5, B=96,
         eval_batch_size=512, optimizer="AdamW", lr=1e-4, lr_decay=0.99,
         lr_decay_step=1, criterion="CrossEntropyLoss", eval_type="global",
         eval_every=1, split_type="diri", cncntrtn=0.5, test_size=-1,
         model_name="mome_small_patch16", resize=224, imnorm=True,
         seq_len=40, equal_sampled=True, synthetic_data=True,
-        mesh_shape=[1],
+        mesh_shape=[1], R=3,
     )
     if not on_tpu:
         kw.update(model_name="mome_test_patch16_32", resize=32, B=8, E=1,
@@ -193,12 +193,13 @@ def full_round(on_tpu):
     cfg = check_args(ExperimentConfig(**kw))
     data = load_federated_data(cfg, np.random.RandomState(cfg.seed))
     server = create_server(cfg, data)
-    server.round = 1
-    server.update()                      # compiles everything
-    server.evaluate([])
+    for r in (1, 2):                     # round 1 compiles, round 2 warms
+        server.round = r
+        server.update()
+        server.evaluate([])
     n_samples = 0
     t0 = time.perf_counter()
-    server.round = 2
+    server.round = 3
     sampled = server.update()
     server.evaluate([])
     dt = time.perf_counter() - t0

@@ -34,12 +34,14 @@ from fedcola_tpu.parallel.client_update import GroupSpec, build_eval_forward
 def extract_features(cfg: MATConfig, spec: GroupSpec, params,
                      dataset: TaskDataset, batch_size: int = 512,
                      rng: Optional[np.random.RandomState] = None,
-                     mesh_plan=None):
+                     mesh_plan=None, resident=None):
     """Returns aligned (image_features [n_img, D], caption_features
     [n_cap, D], image_classes, caption_classes).  With a ``mesh_plan``,
     every feature-extraction batch shards over the whole device mesh (the
-    reference runs this single-device; SURVEY.md §2.8 P3)."""
-    fwd = build_eval_forward(cfg, spec)
+    reference runs this single-device; SURVEY.md §2.8 P3).  ``resident``:
+    HBM-staged dataset arrays — batches become on-device index gathers
+    instead of host pixel transfers."""
+    fwd = build_eval_forward(cfg, spec, resident=resident is not None)
     n = dataset.n
     if mesh_plan is not None:
         batch_size = mesh_plan.pad_eval_batch(batch_size)
@@ -58,13 +60,17 @@ def extract_features(cfg: MATConfig, spec: GroupSpec, params,
         idx = order[start:start + batch_size]
         pad = batch_size - len(idx)
         gidx = np.concatenate([idx, np.repeat(idx[:1], pad)]) if pad else idx
-        batch = {
-            "x": dataset.load_images(gidx),
-            "y": dataset.texts[gidx],
-        }
+        if resident is not None:
+            batch = {"idx": gidx.astype(np.int32)}
+        else:
+            batch = {
+                "x": dataset.load_images(gidx),
+                "y": dataset.texts[gidx],
+            }
         if mesh_plan is not None:
             batch = mesh_plan.shard_eval_batch(batch)
-        fi, ft = fwd(params, batch)
+        fi, ft = (fwd(params, batch, resident) if resident is not None
+                  else fwd(params, batch))
         fi = np.asarray(fi[:len(idx)], np.float32)
         ft = np.asarray(ft[:len(idx)], np.float32)
         for j, i in enumerate(idx):
@@ -144,9 +150,10 @@ def evaluate_n_fold(image_features, caption_features, image_classes,
 def evaluate(cfg: MATConfig, spec: GroupSpec, params, dataset: TaskDataset,
              batch_size: int = 512, n_crossfolds: int = 5,
              rng: Optional[np.random.RandomState] = None,
-             mesh_plan=None) -> Dict:
+             mesh_plan=None, resident=None) -> Dict:
     imf, capf, imc, capc = extract_features(cfg, spec, params, dataset,
-                                            batch_size, rng, mesh_plan)
+                                            batch_size, rng, mesh_plan,
+                                            resident)
     scores: Dict = {}
     if n_crossfolds > 0 and len(imf) >= n_crossfolds * 1000:
         scores["n_fold"] = evaluate_n_fold(imf, capf, imc, capc, n_crossfolds)

@@ -197,6 +197,35 @@ class FedAvgServer:
         self._resident_cache[ds] = dev
         return dev
 
+    def _resident_eval_data(self, ds: str, spec) -> Optional[Dict]:
+        """Eval twin of :meth:`_resident_data`: stage the server test set
+        into HBM once so every central-eval / retrieval batch is an
+        on-device index gather."""
+        key = f"eval:{ds}"
+        if key in self._resident_cache:
+            return self._resident_cache[key]
+        test = self.data.server_eval[ds]
+        arrays = {}
+        if "img" in spec.modality:
+            if test.images is None:
+                self._resident_cache[key] = None
+                return None
+            arrays["img"] = test.images
+        if "txt" in spec.modality:
+            arrays["txt"] = np.asarray(test.texts, np.int32)
+        if spec.modality != "img+txt":
+            arrays["tgt"] = np.asarray(test.targets, np.int32)
+        budget = int(os.environ.get("FEDCOLA_RESIDENT_BUDGET",
+                                    6 * 1024 ** 3))
+        if sum(a.nbytes for a in arrays.values()) > budget:
+            self._resident_cache[key] = None
+            return None
+        dev = {k: self.mesh_plan.replicate(jnp.asarray(v))
+               for k, v in arrays.items()}
+        jax.block_until_ready(dev)
+        self._resident_cache[key] = dev
+        return dev
+
     def _shard_clients(self, tree):
         return self.mesh_plan.shard_client_tree(tree)
 
@@ -392,7 +421,8 @@ class FedAvgServer:
                     mcfg, spec, params, test,
                     batch_size=cfg.eval_batch_size,
                     rng=np.random.RandomState(self.cfg.seed + self.round),
-                    mesh_plan=self.mesh_plan)
+                    mesh_plan=self.mesh_plan,
+                    resident=self._resident_eval_data(ds, spec))
                 r1sum = 0.0
                 payload = {}
                 for split_key, prefix in (("n_fold", "1k"), (None, "5k")):
@@ -412,7 +442,9 @@ class FedAvgServer:
                 if self.writer:
                     self.writer.log(payload, self.round)
             else:
-                fwd = build_eval_forward(mcfg, spec)
+                resident = self._resident_eval_data(ds, spec)
+                fwd = build_eval_forward(mcfg, spec,
+                                         resident=resident is not None)
                 mm = MetricManager(cfg.eval_metrics)
                 # eval batches shard over the whole mesh (the reference's
                 # equivalent DataParallel axis, fedavgclient.py:60-61)
@@ -426,12 +458,18 @@ class FedAvgServer:
                     pad = B - len(idx)
                     gidx = np.concatenate([idx, np.repeat(idx[:1], pad)]) \
                         if pad else idx
-                    batch = {"x": (test.load_images(gidx)
-                                   if "img" in DATASET_2_MODALITY[ds]
-                                   else test.texts[gidx]),
-                             "y": test.targets[gidx].astype(np.int32)}
+                    if resident is not None:
+                        batch = {"idx": gidx.astype(np.int32)}
+                    else:
+                        batch = {"x": (test.load_images(gidx)
+                                       if "img" in DATASET_2_MODALITY[ds]
+                                       else test.texts[gidx]),
+                                 "y": test.targets[gidx].astype(np.int32)}
                     batch = self.mesh_plan.shard_eval_batch(batch)
-                    logits = np.asarray(fwd(params_dev, batch))[:len(idx)]
+                    logits = np.asarray(
+                        fwd(params_dev, batch, resident)
+                        if resident is not None
+                        else fwd(params_dev, batch))[:len(idx)]
                     y = test.targets[idx]
                     loss = float(cross_entropy(jnp.asarray(logits),
                                                jnp.asarray(y)))

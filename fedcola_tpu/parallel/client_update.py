@@ -229,11 +229,27 @@ def init_group_opt_states(opt: OptimizerSpec, stacked_params):
 # ----------------------------------------------------------------- eval ----
 
 @functools.lru_cache(maxsize=32)
-def build_eval_forward(cfg: MATConfig, spec: GroupSpec):
-    """Jitted inference forward for central/local evaluation."""
+def build_eval_forward(cfg: MATConfig, spec: GroupSpec,
+                       resident: bool = False):
+    """Jitted inference forward for central/local evaluation.
 
-    def fwd(params, batch):
+    ``resident=True``: ``batch`` is ``{"idx": [B] int32}`` and a ``data``
+    dict of HBM-resident dataset arrays is passed alongside — rows gather
+    on device (eval twin of the resident training plane)."""
+
+    def fwd(params, batch, data=None):
         dtype = jnp.dtype(cfg.compute_dtype)
+        if resident:
+            idx = batch["idx"]
+            if spec.modality == "img":
+                batch = {"x": jnp.take(data["img"], idx, axis=0),
+                         "y": jnp.take(data["tgt"], idx, axis=0)}
+            elif spec.modality == "txt":
+                batch = {"x": jnp.take(data["txt"], idx, axis=0),
+                         "y": jnp.take(data["tgt"], idx, axis=0)}
+            else:
+                batch = {"x": jnp.take(data["img"], idx, axis=0),
+                         "y": jnp.take(data["txt"], idx, axis=0)}
         ins = [None] * len(cfg.modalities)
         if spec.modality == "img":
             ins[spec.img_slot] = preprocess_images(batch["x"], spec, dtype)

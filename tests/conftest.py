@@ -25,3 +25,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+# Compile-time economics: the suite is compile-bound on one CPU core.
+# Test models are tiny, so XLA's optimization passes cost far more compile
+# time than they return in runtime; the on-disk compilation cache makes
+# re-runs near compile-free.  Set via config.update, NOT env vars: the
+# image's sitecustomize imports jax at interpreter startup, long before
+# this file runs, so env vars would be read too late under pytest.
+jax.config.update("jax_disable_most_optimizations", True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", ".pytest_cache", "jax-cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

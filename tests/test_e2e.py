@@ -77,6 +77,7 @@ def test_mixed_population_fedcola():
     assert any("r@1sum" in k for k in ev)
 
 
+@pytest.mark.slow
 def test_warmup_freeze_and_fedavg_eval():
     """Warmup rounds filter sampled modalities (fedavgserver.py:307-308);
     the freeze window compiles a frozen-mask program variant; --fedavg_eval
@@ -104,6 +105,7 @@ def test_warmup_freeze_and_fedavg_eval():
     assert any(k.endswith("_fedavg") for k in server.results[2])
 
 
+@pytest.mark.slow
 def test_creamfl_runs():
     """CreamFL: public-set phases + contrastive-weighted feature aggregation
     + zero-init mm aggregate + server distillation."""
@@ -123,6 +125,7 @@ def test_creamfl_runs():
     assert all(np.isfinite(l).all() for l in leaves)
 
 
+@pytest.mark.slow
 def test_fedprox_and_fedopt_run():
     cfg = make_cfg(algorithm="fedprox", mu=0.01)
     run_rounds(cfg, rounds=1)
