@@ -205,6 +205,7 @@ class ExperimentConfig:
     checkpoint_every: int = 0                # 0 = only final (reference parity)
     profile_every: int = 0                   # jax.profiler trace every N rounds
     detect_anomaly: bool = False             # jax_debug_nans op-level tracing
+    moment_dtype: str = "float32"            # Adam moment storage (bfloat16 halves opt-state HBM)
     synthetic_data: bool = False             # synthetic data plane (benchmarks)
     wandb: bool = False
     num_classes: Optional[int] = None        # filled by the data plane
@@ -354,6 +355,8 @@ def _add_tpu_flags(p: argparse.ArgumentParser) -> None:
     add("--checkpoint_every", type=int, default=0)
     add("--profile_every", type=int, default=0)
     add("--detect_anomaly", action="store_true")
+    add("--moment_dtype", type=str, default="float32",
+        choices=["float32", "bfloat16"])
     add("--synthetic_data", action="store_true")
     add("--wandb", action="store_true")
 

@@ -36,13 +36,21 @@ class OptimizerSpec:
     beta2: float = 0.999
     eps: float = 1e-8
     max_grad_norm: float = 0.0   # 0 = no clipping (main.py:270)
+    # Adam moment storage dtype.  float32 matches torch bit-for-bit;
+    # bfloat16 halves optimizer-state HBM traffic and footprint (the math
+    # still runs f32 per step) at a small accuracy cost -- opt-in.
+    moment_dtype: str = "float32"
 
 
 def init_opt_state(spec: OptimizerSpec, params):
+    mdt = jnp.dtype(spec.moment_dtype)
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
     if spec.name in ("Adam", "AdamW"):
-        return {"m": zeros,
-                "v": jax.tree_util.tree_map(jnp.zeros_like, params),
+        mz = jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape, mdt), params)
+        return {"m": mz,
+                "v": jax.tree_util.tree_map(
+                    lambda x: jnp.zeros(x.shape, mdt), params),
                 "t": jnp.zeros((), jnp.int32)}
     if spec.name == "SGD":
         return {"b": zeros, "t": jnp.zeros((), jnp.int32)}
@@ -84,22 +92,24 @@ def opt_update(spec: OptimizerSpec, params, grads, state, lr,
         p32 = p.astype(jnp.float32)
         if spec.name == "AdamW":
             m, v = extra
-            m = spec.beta1 * m + (1 - spec.beta1) * g
-            v = spec.beta2 * v + (1 - spec.beta2) * g * g
+            mdt = m.dtype
+            m = spec.beta1 * m.astype(jnp.float32) + (1 - spec.beta1) * g
+            v = spec.beta2 * v.astype(jnp.float32) + (1 - spec.beta2) * g * g
             mh = m / (1 - spec.beta1 ** tf)
             vh = v / (1 - spec.beta2 ** tf)
             p32 = p32 * (1 - lr * spec.weight_decay)
             p32 = p32 - lr * mh / (jnp.sqrt(vh) + spec.eps)
-            return p32.astype(p.dtype), (m, v)
+            return p32.astype(p.dtype), (m.astype(mdt), v.astype(mdt))
         if spec.name == "Adam":
             m, v = extra
+            mdt = m.dtype
             g = g + spec.weight_decay * p32
-            m = spec.beta1 * m + (1 - spec.beta1) * g
-            v = spec.beta2 * v + (1 - spec.beta2) * g * g
+            m = spec.beta1 * m.astype(jnp.float32) + (1 - spec.beta1) * g
+            v = spec.beta2 * v.astype(jnp.float32) + (1 - spec.beta2) * g * g
             mh = m / (1 - spec.beta1 ** tf)
             vh = v / (1 - spec.beta2 ** tf)
             p32 = p32 - lr * mh / (jnp.sqrt(vh) + spec.eps)
-            return p32.astype(p.dtype), (m, v)
+            return p32.astype(p.dtype), (m.astype(mdt), v.astype(mdt))
         if spec.name == "SGD":
             (b,) = extra
             g = g + spec.weight_decay * p32
@@ -164,4 +174,5 @@ def make_optimizer_spec(cfg) -> OptimizerSpec:
         momentum=cfg.momentum,
         nesterov=cfg.nesterov,
         max_grad_norm=cfg.max_grad_norm,
+        moment_dtype=getattr(cfg, "moment_dtype", "float32"),
     )

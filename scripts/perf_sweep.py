@@ -29,11 +29,12 @@ def measure(cfg_kw, n=2, S=4, B=96, chunks=3):
                 vocab_size=30522, max_text_len=40,
                 use_pallas=True, use_fused_mlp=True,
                 compute_dtype="bfloat16")
-    base.update(cfg_kw)
+    opt_kw = {k[4:]: v for k, v in cfg_kw.items() if k.startswith("opt_")}
+    base.update({k: v for k, v in cfg_kw.items() if not k.startswith("opt_")})
     cfg = MATConfig(**base)
     spec = GroupSpec(modality="img+txt", criterion="ContrastiveLoss",
                      imnorm=True)
-    opt = OptimizerSpec(name="AdamW")
+    opt = OptimizerSpec(name="AdamW", **opt_kw)
     rng = np.random.RandomState(0)
     mk = lambda: {
         "x": rng.randint(0, 255, (n, S, B, 224, 224, 3)).astype(np.uint8),
@@ -69,6 +70,7 @@ VARIANTS = {
     "noremat": {"remat": False},
     "nofuse_attn": {"use_pallas": False},
     "nofuse_mlp": {"use_fused_mlp": False},
+    "bf16_moments": {"remat_policy": "save_attn", "opt_moment_dtype": "bfloat16"},
 }
 
 if __name__ == "__main__":

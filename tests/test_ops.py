@@ -177,3 +177,29 @@ def test_seg_loss_dispatchable_and_masked():
                       jnp.asarray(valid)))
     unpadded = float(seg_loss(jnp.asarray(logits[:3]), jnp.asarray(y[:3])))
     np.testing.assert_allclose(masked, unpadded, rtol=1e-5)
+
+
+def test_bf16_moment_storage_tracks_f32_updates():
+    """moment_dtype='bfloat16' halves optimizer-state HBM; per-step math is
+    still f32, so a few steps stay close to the f32-moment reference and
+    the stored moments keep the requested dtype."""
+    from fedcola_tpu.parallel.optim import (OptimizerSpec, init_opt_state,
+                                            opt_update)
+    rng = np.random.RandomState(5)
+    w0 = rng.randn(8, 8).astype(np.float32)
+    ref_spec = OptimizerSpec(name="AdamW", weight_decay=0.01)
+    bf_spec = OptimizerSpec(name="AdamW", weight_decay=0.01,
+                            moment_dtype="bfloat16")
+    p_ref = {"w": jnp.asarray(w0)}
+    p_bf = {"w": jnp.asarray(w0)}
+    s_ref = init_opt_state(ref_spec, p_ref)
+    s_bf = init_opt_state(bf_spec, p_bf)
+    assert s_bf["m"]["w"].dtype == jnp.bfloat16
+    for _ in range(4):
+        g = {"w": jnp.asarray(rng.randn(8, 8).astype(np.float32))}
+        p_ref, s_ref = opt_update(ref_spec, p_ref, g, s_ref, 1e-3)
+        p_bf, s_bf = opt_update(bf_spec, p_bf, g, s_bf, 1e-3)
+    assert s_bf["m"]["w"].dtype == jnp.bfloat16
+    assert s_bf["v"]["w"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(p_bf["w"]), np.asarray(p_ref["w"]),
+                               rtol=0, atol=2e-4)
