@@ -71,6 +71,12 @@ class MATConfig:
     aux_attn_only: bool = False
     aux_mlp_only: bool = False
     use_pallas: bool = True
+    # below this sequence length the fused attention kernel is pure
+    # pipeline-drain overhead (dozens of tiny [N, hd] dots per program);
+    # short stacks (40-token text) run the unfused XLA path instead
+    fused_attn_min_seq: int = 0
+    # lax.scan unroll factor for the layer stack (1 = rolled loop)
+    scan_unroll: int = 1
     # fused MLP pallas kernel (ops/fused_mlp.py): safe under client-vmapped
     # training too — its custom_vmap rule makes the client axis an outer
     # grid dimension, so weights don't replicate inside VMEM
@@ -318,7 +324,8 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
     use_dp = cfg.drop_path_rate > 0
 
     def layer_fwd(h, layer, rate, rng_a, rng_m):
-        if cfg.fused_attn_ok and jax.default_backend() == "tpu":
+        if (cfg.fused_attn_ok and h.shape[1] >= cfg.fused_attn_min_seq
+                and jax.default_backend() == "tpu"):
             from fedcola_tpu.ops.fused_attention import \
                 make_fused_attention_sublayer
             dtype = h.dtype
@@ -337,22 +344,29 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
             a = multi_head_attention(
                 a, layer["qkv_kernel"], layer["qkv_bias"],
                 layer["proj_kernel"], layer["proj_bias"],
-                cfg.num_heads, use_pallas=cfg.use_pallas)
+                cfg.num_heads,
+                use_pallas=(cfg.use_pallas
+                            and h.shape[1] >= cfg.fused_attn_min_seq))
         if cfg.remat_policy == "save_attn":
             from jax.ad_checkpoint import checkpoint_name
             a = checkpoint_name(a, "attn_out")
         h = h + (_drop_path(a, rate, rng_a, train) if use_dp else a)
-        m = _layer_norm(h, layer["norm2_scale"], layer["norm2_bias"], 1e-5)
         if cfg.fused_mlp_ok and jax.default_backend() == "tpu":
-            from fedcola_tpu.ops.fused_mlp import fused_mlp
-            B_, N_, D_ = m.shape
-            m = fused_mlp(m.reshape(B_ * N_, D_),
-                          layer["fc1_kernel"].astype(m.dtype),
-                          layer["fc1_bias"].astype(m.dtype),
-                          layer["fc2_kernel"].astype(m.dtype),
-                          layer["fc2_bias"].astype(m.dtype))
+            # LN2 is folded into the kernel (like LN1 in the attention
+            # sublayer): the f32 LN intermediates never leave VMEM
+            from fedcola_tpu.ops.fused_mlp import fused_mlp_sublayer
+            B_, N_, D_ = h.shape
+            m = fused_mlp_sublayer(h.reshape(B_ * N_, D_),
+                                   layer["norm2_scale"],
+                                   layer["norm2_bias"],
+                                   layer["fc1_kernel"].astype(h.dtype),
+                                   layer["fc1_bias"].astype(h.dtype),
+                                   layer["fc2_kernel"].astype(h.dtype),
+                                   layer["fc2_bias"].astype(h.dtype))
             m = m.reshape(B_, N_, D_)
         else:
+            m = _layer_norm(h, layer["norm2_scale"], layer["norm2_bias"],
+                            1e-5)
             m = m @ layer["fc1_kernel"].astype(m.dtype) \
                 + layer["fc1_bias"].astype(m.dtype)
             m = jax.nn.gelu(m, approximate=False)  # torch default: exact erf
@@ -379,13 +393,14 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
             layer, rate, ks = xs
             return fwd(h, layer, rate, ks[0], ks[1]), None
 
-        out, _ = jax.lax.scan(body, x, (blk, dpr, layer_rngs))
+        out, _ = jax.lax.scan(body, x, (blk, dpr, layer_rngs),
+                              unroll=cfg.scan_unroll)
     else:
         def body(h, xs):
             layer, rate = xs
             return layer_fwd(h, layer, rate, None, None), None
 
-        out, _ = jax.lax.scan(body, x, (blk, dpr))
+        out, _ = jax.lax.scan(body, x, (blk, dpr), unroll=cfg.scan_unroll)
     return out
 
 

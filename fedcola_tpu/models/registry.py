@@ -66,6 +66,12 @@ def build_mat_config(model_name: str, cfg: ExperimentConfig,
         use_pallas=cfg.use_pallas,
         use_fused_mlp=cfg.use_pallas,
         compute_dtype=cfg.compute_dtype,
+        # fully unrolling the layer scan removes the per-layer weight
+        # dynamic-slices and activation-stack update-slices from the
+        # compiled program (+7% step throughput on v5e at depth 12);
+        # the rolled loop is kept for tiny test models where compile
+        # time dominates
+        scan_unroll=depth if cfg.use_pallas and depth >= 8 else 1,
         **slots,
     )
 

@@ -273,3 +273,221 @@ def _vjp_bwd(res, do):
 
 
 fused_mlp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ------------------------------------------------- LN-fused MLP sublayer ---
+# The full pre-residual MLP path of a MAT block:
+#     m = fc2( GELU( fc1( LayerNorm(x) ) ) )
+# Folding the LayerNorm in (like the attention sublayer's LN1) removes the
+# XLA-side LN op and its f32 activation round-trips between kernels — the
+# LN intermediates live and die in VMEM.
+
+def _ln_rows(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * inv
+    return xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32), \
+        xhat, inv
+
+
+def _ln_fwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   o_ref):
+    hnorm, _, _ = _ln_rows(x_ref[0], lns_ref[0, 0], lnb_ref[0, 0])
+    o_ref[0] = _fwd_math(hnorm.astype(x_ref.dtype), w1_ref[0], b1_ref[0],
+                         w2_ref[0], b2_ref[0], o_ref.dtype)
+
+
+def _ln_bwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, do_ref,
+                   dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
+                   db2_ref,
+                   dlns_acc, dlnb_acc, dw1_acc, db1_acc, dw2_acc, db2_acc,
+                   sems):
+    x = x_ref[0]
+    dt = x.dtype
+    lns = lns_ref[0, 0].astype(jnp.float32)
+    hnorm, xhat, inv = _ln_rows(x, lns_ref[0, 0], lnb_ref[0, 0])
+    hc = hnorm.astype(dt)
+    w1 = w1_ref[0].astype(dt)
+    w2 = w2_ref[0].astype(dt)
+    do = do_ref[0].astype(dt)
+    pre = jnp.dot(hc, w1, preferred_element_type=jnp.float32) \
+        + b1_ref[0].astype(jnp.float32)
+    h = _gelu_exact(pre)
+    dh = jax.lax.dot_general(do, w2, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    cdf = 0.5 * (1.0 + _erf(pre * 0.7071067811865475))
+    pdf = jnp.exp(-0.5 * pre * pre) * 0.3989422804014327
+    dpre = dh * (cdf + pre * pdf)
+    dpre_c = dpre.astype(dt)
+    dhnorm = jax.lax.dot_general(dpre_c, w1, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dw1 = jax.lax.dot_general(hc, dpre_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dpre, axis=0, keepdims=True)
+    dw2 = jax.lax.dot_general(h.astype(dt), do, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db2 = jnp.sum(do.astype(jnp.float32), axis=0, keepdims=True)
+    # LayerNorm backward
+    dg = dhnorm * lns
+    m1 = jnp.mean(dg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dg * xhat, axis=-1, keepdims=True)
+    dx = inv * (dg - m1 - xhat * m2)
+    dlns = jnp.sum(dhnorm * xhat, axis=0, keepdims=True)
+    dlnb = jnp.sum(dhnorm, axis=0, keepdims=True)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dlns_acc[...] = jnp.zeros_like(dlns_acc)
+        dlnb_acc[...] = jnp.zeros_like(dlnb_acc)
+        dw1_acc[...] = jnp.zeros_like(dw1_acc)
+        db1_acc[...] = jnp.zeros_like(db1_acc)
+        dw2_acc[...] = jnp.zeros_like(dw2_acc)
+        db2_acc[...] = jnp.zeros_like(db2_acc)
+
+    dlns_acc[...] += dlns
+    dlnb_acc[...] += dlnb
+    dw1_acc[...] += dw1
+    db1_acc[...] += db1
+    dw2_acc[...] += dw2
+    db2_acc[...] += db2
+
+    @pl.when(i == n_tiles - 1)
+    def _spill():
+        for j, (acc, ref) in enumerate([
+                (dlns_acc, dlns_ref), (dlnb_acc, dlnb_ref),
+                (dw1_acc, dw1_ref), (db1_acc, db1_ref),
+                (dw2_acc, dw2_ref), (db2_acc, db2_ref)]):
+            dma = pltpu.make_async_copy(acc, ref.at[c], sems.at[j])
+            dma.start()
+            dma.wait()
+
+
+def _ln_fwd_call(x, lns, lnb, w1, b1, w2, b2):
+    n, _, D = x.shape
+    Hd = w1.shape[-1]
+    xp, rows = _pad_rows(x, _FWD_ROWS, axis=1)
+    R = _FWD_ROWS
+    row = pl.BlockSpec((1, R, D), lambda c, i: (c, i, 0),
+                       memory_space=pltpu.VMEM)
+    per_c = lambda shape: pl.BlockSpec((1,) + shape,
+                                       lambda c, i: (c,) + (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    o = pl.pallas_call(
+        _ln_fwd_kernel,
+        grid=(n, xp.shape[1] // R),
+        in_specs=[row, per_c((1, D)), per_c((1, D)), per_c((D, Hd)),
+                  per_c((1, Hd)), per_c((Hd, D)), per_c((1, D))],
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * xp.shape[1] * D * Hd,
+            bytes_accessed=(n * xp.shape[1] * D * 2 + n * D * Hd * 2)
+            * x.dtype.itemsize,
+            transcendentals=n * xp.shape[1] * Hd,
+        ),
+        interpret=_interpret(),
+    )(xp, lns, lnb, w1, b1, w2, b2)
+    return o[:, :rows]
+
+
+def _ln_bwd_call(x, lns, lnb, w1, b1, w2, do):
+    n, _, D = x.shape
+    Hd = w1.shape[-1]
+    xp, rows = _pad_rows(x, _BWD_ROWS, axis=1)
+    dop, _ = _pad_rows(do, _BWD_ROWS, axis=1)
+    R = _BWD_ROWS
+    row = pl.BlockSpec((1, R, D), lambda c, i: (c, i, 0),
+                       memory_space=pltpu.VMEM)
+    per_c = lambda shape: pl.BlockSpec((1,) + shape,
+                                       lambda c, i: (c,) + (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    anys = pl.BlockSpec(memory_space=pl.ANY)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        _ln_bwd_kernel,
+        grid=(n, xp.shape[1] // R),
+        in_specs=[row, per_c((1, D)), per_c((1, D)), per_c((D, Hd)),
+                  per_c((1, Hd)), per_c((Hd, D)), row],
+        out_specs=(row,) + (anys,) * 6,
+        scratch_shapes=[pltpu.VMEM((1, D), f32), pltpu.VMEM((1, D), f32),
+                        pltpu.VMEM((D, Hd), f32), pltpu.VMEM((1, Hd), f32),
+                        pltpu.VMEM((Hd, D), f32), pltpu.VMEM((1, D), f32),
+                        pltpu.SemaphoreType.DMA((6,))],
+        out_shape=(jax.ShapeDtypeStruct(xp.shape, x.dtype),
+                   jax.ShapeDtypeStruct((n, 1, D), f32),
+                   jax.ShapeDtypeStruct((n, 1, D), f32),
+                   jax.ShapeDtypeStruct((n, D, Hd), f32),
+                   jax.ShapeDtypeStruct((n, 1, Hd), f32),
+                   jax.ShapeDtypeStruct((n, Hd, D), f32),
+                   jax.ShapeDtypeStruct((n, 1, D), f32)),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n * xp.shape[1] * D * Hd,
+            bytes_accessed=(n * xp.shape[1] * D * 4 + n * D * Hd * 4) * 4,
+            transcendentals=2 * n * xp.shape[1] * Hd,
+        ),
+        interpret=_interpret(),
+    )(xp, lns, lnb, w1, b1, w2, dop)
+    return (outs[0][:, :rows],) + tuple(outs[1:])
+
+
+@custom_vmap
+def _ln_fwd_cv(x, lns, lnb, w1, b1, w2, b2):
+    return _ln_fwd_call(x[None], lns[None], lnb[None], w1[None], b1[None],
+                        w2[None], b2[None])[0]
+
+
+@_ln_fwd_cv.def_vmap
+def _ln_fwd_cv_rule(axis_size, in_batched, *args):
+    args = [_batch_arg(a, b, axis_size) for a, b in zip(args, in_batched)]
+    return _ln_fwd_call(*args), True
+
+
+@custom_vmap
+def _ln_bwd_cv(x, lns, lnb, w1, b1, w2, do):
+    outs = _ln_bwd_call(x[None], lns[None], lnb[None], w1[None], b1[None],
+                        w2[None], do[None])
+    return tuple(o[0] for o in outs)
+
+
+@_ln_bwd_cv.def_vmap
+def _ln_bwd_cv_rule(axis_size, in_batched, *args):
+    args = [_batch_arg(a, b, axis_size) for a, b in zip(args, in_batched)]
+    return _ln_bwd_call(*args), (True,) * 7
+
+
+@jax.custom_vjp
+def fused_mlp_sublayer(x, lns, lnb, w1, b1, w2, b2):
+    """The complete pre-residual MLP path, LayerNorm included:
+    x: [rows, D] -> fc2(GELU(fc1(LN(x)))) [rows, D]."""
+    return _ln_fwd_cv(x, lns.reshape(1, -1), lnb.reshape(1, -1), w1,
+                      b1.reshape(1, -1), w2, b2.reshape(1, -1))
+
+
+def _ln_vjp_fwd(x, lns, lnb, w1, b1, w2, b2):
+    out = _ln_fwd_cv(x, lns.reshape(1, -1), lnb.reshape(1, -1), w1,
+                     b1.reshape(1, -1), w2, b2.reshape(1, -1))
+    return out, (x, lns, lnb, w1, b1, w2, b2)
+
+
+def _ln_vjp_bwd(res, do):
+    x, lns, lnb, w1, b1, w2, b2 = res
+    dx, dlns, dlnb, dw1, db1, dw2, db2 = _ln_bwd_cv(
+        x, lns.reshape(1, -1), lnb.reshape(1, -1), w1, b1.reshape(1, -1),
+        w2, do)
+    return (dx,
+            dlns.reshape(lns.shape).astype(lns.dtype),
+            dlnb.reshape(lnb.shape).astype(lnb.dtype),
+            dw1.astype(w1.dtype),
+            db1.reshape(b1.shape).astype(b1.dtype),
+            dw2.astype(w2.dtype),
+            db2.reshape(b2.shape).astype(b2.dtype))
+
+
+fused_mlp_sublayer.defvjp(_ln_vjp_fwd, _ln_vjp_bwd)

@@ -71,6 +71,10 @@ VARIANTS = {
     "nofuse_attn": {"use_pallas": False},
     "nofuse_mlp": {"use_fused_mlp": False},
     "bf16_moments": {"remat_policy": "save_attn", "opt_moment_dtype": "bfloat16"},
+    "txt_xla_attn": {"remat_policy": "save_attn", "fused_attn_min_seq": 128},
+    "unroll12": {"scan_unroll": 12},
+    "unroll12_lnmlp": {"scan_unroll": 12},  # LN-fused MLP now default in-code
+    "unroll4": {"scan_unroll": 4},
 }
 
 if __name__ == "__main__":

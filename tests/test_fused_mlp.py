@@ -61,3 +61,46 @@ def test_fused_mlp_vmapped_grad_matches():
     for a, b, name in zip(gf, gp, ["dx", "dw1", "db1", "dw2", "db2"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-5, err_msg=name)
+
+
+def test_fused_mlp_sublayer_matches_unfused_ln_mlp():
+    """LN-folded sublayer golden: fwd + all grads vs LayerNorm->fc1->GELU->
+    fc2 composed in plain XLA, under the client vmap."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fedcola_tpu.ops.fused_mlp import fused_mlp_sublayer
+
+    rng = np.random.RandomState(4)
+    n, R, D, H = 2, 24, 128, 256
+    x = rng.randn(n, R, D).astype(np.float32)
+    lns = rng.randn(n, D).astype(np.float32) * 0.1 + 1
+    lnb = rng.randn(n, D).astype(np.float32) * 0.1
+    w1 = (rng.randn(n, D, H) / np.sqrt(D)).astype(np.float32)
+    b1 = rng.randn(n, H).astype(np.float32) * 0.01
+    w2 = (rng.randn(n, H, D) / np.sqrt(H)).astype(np.float32)
+    b2 = rng.randn(n, D).astype(np.float32) * 0.01
+
+    def ref(x, lns, lnb, w1, b1, w2, b2):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = jnp.square(xf - mu).mean(-1, keepdims=True)
+        m = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * lns + lnb
+        m = m.astype(x.dtype)
+        m = jax.nn.gelu(m @ w1 + b1, approximate=False)
+        return m @ w2 + b2
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.square(jax.vmap(fused_mlp_sublayer)(*a)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.square(jax.vmap(ref)(*a)))
+
+    args = tuple(map(jnp.asarray, (x, lns, lnb, w1, b1, w2, b2)))
+    gf = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    np.testing.assert_allclose(np.asarray(loss_fused(*args)),
+                               np.asarray(loss_ref(*args)), rtol=2e-5)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
