@@ -115,7 +115,8 @@ def headline(on_tpu):
                     vocab_size=64, max_text_len=8)
 
     cfg_fast = MATConfig(use_pallas=on_tpu, use_fused_mlp=on_tpu,
-                         compute_dtype="bfloat16", **base)
+                         compute_dtype="bfloat16",
+                         scan_unroll=base["depth"] if on_tpu else 1, **base)
     # the reference stores activations (no remat) and runs fp32 unfused
     cfg_ref = MATConfig(use_pallas=False, compute_dtype="float32",
                         remat_policy="full", **base)
@@ -211,6 +212,14 @@ def full_round(on_tpu):
 def main():
     os.environ.setdefault("JAX_PLATFORMS", "")
     import jax
+    # persistent compile cache: fully-unrolled production programs are
+    # expensive to compile; cache entries survive across bench runs on the
+    # same machine (config.update, not env vars - the image's
+    # sitecustomize imports jax before this line)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax-cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     on_tpu = jax.default_backend() == "tpu"
 
     ours, ref, mfu, step_flops = headline(on_tpu)
