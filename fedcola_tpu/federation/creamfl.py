@@ -96,7 +96,15 @@ class CreamflServer(FedAvgServer):
         logger.info("[CREAMFL] public set: %d samples", self.n_pub)
 
     def _pub_batches(self):
+        """Public-set batches, staged to device ONCE and reused: the pub
+        set is identical every epoch and round, so re-shipping its pixels
+        across the host link each pass would be pure waste (the host link
+        is the slowest wire — see FedAvgServer._resident_data)."""
+        if getattr(self, "_pub_batches_dev", None) is not None:
+            yield from self._pub_batches_dev
+            return
         B = self.cfg.pub_batch_size
+        staged = []
         for s in range(0, self.n_pub, B):
             e = min(s + B, self.n_pub)
             pad = B - (e - s)
@@ -104,8 +112,11 @@ class CreamflServer(FedAvgServer):
             if pad:
                 sel = np.concatenate([sel, np.repeat(sel[:1], pad)])
             valid = np.zeros((B,), bool); valid[:e - s] = True
-            yield {"img": self.pub_images[sel], "txt": self.pub_texts[sel],
-                   "didx": sel.astype(np.int32), "valid": valid}
+            staged.append(jax.device_put(
+                {"img": self.pub_images[sel], "txt": self.pub_texts[sel],
+                 "didx": sel.astype(np.int32), "valid": valid}))
+        self._pub_batches_dev = staged
+        yield from staged
 
     # ------------------------------------------------- global pub features --
 
@@ -243,8 +254,6 @@ class CreamflServer(FedAvgServer):
             _broadcast_stack(self.global_params[ds], n_pad))
         opt_state = init_opt_state(self.opt_spec, stacked)
         opt_state["t"] = jnp.zeros((n_pad,), jnp.int32)
-        update_fn = build_group_update(mcfg, spec, self.opt_spec,
-                                       self._frozen_token(ds, spec.modality))
         pub_fn = self._build_pub_update(ds)
         gp = self.global_params[ds]
         shards = [self.data.client_shards[i] for i in ids]
@@ -258,6 +267,12 @@ class CreamflServer(FedAvgServer):
                              shuffle=not cfg.no_shuffle,
                              rng=self.shuffle_rng,
                              debug_two_batches=cfg.debug, aug=aug)
+        # HBM-resident task data when eligible (pub phases interleave per
+        # epoch, so epochs stream one at a time, unlike the fedavg path)
+        data_dev = None if aug is not None else self._resident_data(ds, spec)
+        update_fn = build_group_update(mcfg, spec, self.opt_spec,
+                                       self._frozen_token(ds, spec.modality),
+                                       resident=data_dev is not None)
         do_pub = cfg.interintra_weight > 0 and not (
             cfg.no_mm_contrastive and spec.modality == "img+txt")
         # on-device metric accumulators (one readback per group per round)
@@ -266,7 +281,9 @@ class CreamflServer(FedAvgServer):
             "c": jnp.zeros((n_pad,), jnp.float32),
             "n": jnp.zeros((n_pad,), jnp.float32)})
         for _ in range(cfg.E):
-            for chunk in Prefetcher(feeder.epoch_chunks()):
+            epoch_it = (feeder.round_index_chunks(1) if data_dev is not None
+                        else feeder.epoch_chunks())
+            for chunk in Prefetcher(epoch_it):
                 if n_pad != n:
                     chunk = {k2: np.concatenate(
                         [v, np.zeros((n_pad - n,) + v.shape[1:], v.dtype)])
@@ -274,9 +291,14 @@ class CreamflServer(FedAvgServer):
                 chunk = self.mesh_plan.shard_chunk(chunk)
                 self.key, k = jax.random.split(self.key)
                 rngs = self._shard_clients(jax.random.split(k, n_pad))
-                stacked, opt_state, (ls, cs, ns) = update_fn(
-                    stacked, opt_state, chunk, rngs,
-                    jnp.float32(self.curr_lr), gp)
+                if data_dev is not None:
+                    stacked, opt_state, (ls, cs, ns) = update_fn(
+                        stacked, opt_state, chunk, rngs,
+                        jnp.float32(self.curr_lr), gp, data_dev)
+                else:
+                    stacked, opt_state, (ls, cs, ns) = update_fn(
+                        stacked, opt_state, chunk, rngs,
+                        jnp.float32(self.curr_lr), gp)
                 nsf = ns.astype(jnp.float32)
                 acc = {"l": acc["l"] + (ls.astype(jnp.float32) * nsf).sum(1),
                        "c": acc["c"] + cs.astype(jnp.float32).sum(1),
