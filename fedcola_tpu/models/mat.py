@@ -85,10 +85,14 @@ class MATConfig:
     remat: bool = True  # rematerialise block activations in the backward pass
     # 'full': store only per-layer inputs (min HBM, recompute everything);
     # 'save_attn': additionally store attention outputs, skipping the
-    # attention recompute in the backward pass.  Swept on a real v5e with
-    # the bf16-operand kernels (scripts/perf_sweep.py): save_attn 1856 vs
-    # full 1735 vs no-remat 1836 samples/s — save_attn is the default.
-    remat_policy: str = "save_attn"
+    # attention recompute in the backward pass (swept: 1856 vs full 1735
+    # vs no-remat 1836 samples/s on v5e);
+    # 'kernel' (default): no jax-level checkpoint — the fused attention
+    # kernel saves its softmax probs + head concat through its VJP so the
+    # backward skips every score/softmax/AV recompute, and the fused MLP
+    # recomputes from row inputs in-kernel; falls back to 'save_attn'
+    # where the fused paths are unavailable (CPU, unaligned dims)
+    remat_policy: str = "kernel"
 
     @property
     def num_patches(self) -> int:
@@ -323,6 +327,12 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
     # the masks cost real VPU/HBM time on every residual join).
     use_dp = cfg.drop_path_rate > 0
 
+    fused_active = (cfg.fused_attn_ok and cfg.fused_mlp_ok
+                    and jax.default_backend() == "tpu")
+    policy = cfg.remat_policy
+    if policy == "kernel" and not fused_active:
+        policy = "save_attn"
+
     def layer_fwd(h, layer, rate, rng_a, rng_m):
         if (cfg.fused_attn_ok and h.shape[1] >= cfg.fused_attn_min_seq
                 and jax.default_backend() == "tpu"):
@@ -331,7 +341,9 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
             dtype = h.dtype
             # LN params stay f32 (matches the unfused path's numerics);
             # matmul operands cast to the compute dtype
-            a = make_fused_attention_sublayer(cfg.num_heads)(
+            a = make_fused_attention_sublayer(
+                cfg.num_heads,
+                save_residuals=(train and policy == "kernel"))(
                 h,
                 layer["norm1_scale"], layer["norm1_bias"],
                 layer["qkv_kernel"].astype(dtype),
@@ -347,7 +359,7 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
                 cfg.num_heads,
                 use_pallas=(cfg.use_pallas
                             and h.shape[1] >= cfg.fused_attn_min_seq))
-        if cfg.remat_policy == "save_attn":
+        if policy == "save_attn":
             from jax.ad_checkpoint import checkpoint_name
             a = checkpoint_name(a, "attn_out")
         h = h + (_drop_path(a, rate, rng_a, train) if use_dp else a)
@@ -379,9 +391,13 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
         layer_rngs = jax.random.split(rng, (cfg.depth, 2))
         # remat: store only per-layer inputs; recompute attention/MLP
         # intermediates in the backward pass (HBM >> FLOPs trade on TPU)
-        if not cfg.remat:
+        if not cfg.remat or policy == "kernel":
+            # 'kernel': the fused kernels carry their own residual policy
+            # (attention saves softmax probs + head concat via its VJP; the
+            # MLP recomputes everything from its row inputs in-kernel), so
+            # no jax-level checkpoint wrapper is wanted
             fwd = layer_fwd
-        elif cfg.remat_policy == "save_attn":
+        elif policy == "save_attn":
             fwd = jax.checkpoint(
                 layer_fwd,
                 policy=jax.checkpoint_policies.save_only_these_names(

@@ -96,6 +96,147 @@ def _make_fwd_kernel(H: int, IB: int):
     return kernel
 
 
+def _make_fwd_save_kernel(H: int, IB: int):
+    """Forward that additionally emits the softmax probabilities and the
+    pre-projection head concat as outputs.  Saving (p, cat) lets the
+    backward skip every score dot, the softmax, and every AV dot — the
+    small-matmul pipeline drain that dominates attention backward time at
+    hd=64 — at the price of their HBM round-trip."""
+    def kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+               bproj_ref, a_ref, p_ref, cat_ref):
+        for i in range(IB):
+            x = x_ref[0, i]
+            N, D = x.shape
+            hd = D // H
+            dtype = x.dtype
+            hnorm, _, _ = _ln_fwd(x, lns_ref[0, 0], lnb_ref[0, 0])
+            h = hnorm.astype(dtype)
+            qkv = jnp.dot(h, wqkv_ref[0].astype(dtype),
+                          preferred_element_type=jnp.float32) \
+                + bqkv_ref[0, 0].astype(jnp.float32)
+            qkv = qkv.astype(dtype)
+            outs, ps = _heads_fwd(qkv, D, H, hd, hd ** -0.5, dtype)
+            for hh in range(H):
+                p_ref[0, i, hh] = ps[hh].astype(p_ref.dtype)
+            cat = jnp.concatenate(outs, axis=1).astype(dtype)
+            cat_ref[0, i] = cat
+            a = jnp.dot(cat, wproj_ref[0].astype(dtype),
+                        preferred_element_type=jnp.float32) \
+                + bproj_ref[0, 0].astype(jnp.float32)
+            a_ref[0, i] = a.astype(a_ref.dtype)
+
+    return kernel
+
+
+def _make_bwd_save_kernel(H: int, IB: int):
+    """Backward fed with the saved (p, cat): recomputes only LN + the qkv
+    projection (one full-efficiency dot), then runs straight into the
+    gradient dots."""
+    def kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+               p_ref, cat_ref, da_ref,
+               dx_ref, dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
+               dwproj_ref, dbproj_ref,
+               dlns_acc, dlnb_acc, dwqkv_acc, dbqkv_acc, dwproj_acc,
+               dbproj_acc, sems):
+        c = pl.program_id(0)
+        b = pl.program_id(1)
+        n_b = pl.num_programs(1)
+
+        @pl.when(b == 0)
+        def _init():
+            dlns_acc[...] = jnp.zeros_like(dlns_acc)
+            dlnb_acc[...] = jnp.zeros_like(dlnb_acc)
+            dwqkv_acc[...] = jnp.zeros_like(dwqkv_acc)
+            dbqkv_acc[...] = jnp.zeros_like(dbqkv_acc)
+            dwproj_acc[...] = jnp.zeros_like(dwproj_acc)
+            dbproj_acc[...] = jnp.zeros_like(dbproj_acc)
+
+        for item in range(IB):
+            x = x_ref[0, item]
+            N, D = x.shape
+            hd = D // H
+            scale = hd ** -0.5
+            dtype = x.dtype
+            da = da_ref[0, item].astype(jnp.float32)
+            lns = lns_ref[0, 0].astype(jnp.float32)
+
+            hnorm, xhat, inv = _ln_fwd(x, lns_ref[0, 0], lnb_ref[0, 0])
+            h = hnorm.astype(dtype)
+            wqkv = wqkv_ref[0].astype(dtype)
+            qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32) \
+                + bqkv_ref[0, 0].astype(jnp.float32)
+            qkv = qkv.astype(dtype)
+            cat = cat_ref[0, item]
+
+            da_c = da.astype(dtype)
+            dwproj = jax.lax.dot_general(cat, da_c, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            dbproj = jnp.sum(da, axis=0, keepdims=True)
+            dcat = jax.lax.dot_general(da_c, wproj_ref[0].astype(dtype),
+                                       (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+            dos = [dcat[:, hh * hd:(hh + 1) * hd].astype(dtype)
+                   for hh in range(H)]
+            ps_c = [p_ref[0, item, hh] for hh in range(H)]
+            ps_f = [p.astype(jnp.float32) for p in ps_c]
+            dvs = [jax.lax.dot_general(ps_c[hh], dos[hh],
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+                   for hh in range(H)]
+            dps = [jax.lax.dot_general(
+                       dos[hh], qkv[:, 2 * D + hh * hd:2 * D + (hh + 1) * hd],
+                       (((1,), (1,)), ((), ())),
+                       preferred_element_type=jnp.float32)
+                   for hh in range(H)]
+            dss = []
+            for hh in range(H):
+                p, dp = ps_f[hh], dps[hh]
+                delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+                dss.append((p * (dp - delta)).astype(dtype))
+            dqs = [jnp.dot(dss[hh], qkv[:, D + hh * hd:D + (hh + 1) * hd],
+                           preferred_element_type=jnp.float32) * scale
+                   for hh in range(H)]
+            dks = [jax.lax.dot_general(dss[hh], qkv[:, hh * hd:(hh + 1) * hd],
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+                   * scale for hh in range(H)]
+            dqkv = jnp.concatenate(
+                [jnp.concatenate(dqs, axis=1), jnp.concatenate(dks, axis=1),
+                 jnp.concatenate(dvs, axis=1)], axis=1)
+
+            dqkv_c = dqkv.astype(dtype)
+            dwqkv = jax.lax.dot_general(h, dqkv_c, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
+            dh = jax.lax.dot_general(dqkv_c, wqkv, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+            dg = dh * lns
+            m1 = jnp.mean(dg, axis=-1, keepdims=True)
+            m2 = jnp.mean(dg * xhat, axis=-1, keepdims=True)
+            dx = inv * (dg - m1 - xhat * m2)
+            dx_ref[0, item] = dx.astype(dx_ref.dtype)
+            dlns_acc[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)
+            dlnb_acc[...] += jnp.sum(dh, axis=0, keepdims=True)
+            dwqkv_acc[...] += dwqkv
+            dbqkv_acc[...] += dbqkv
+            dwproj_acc[...] += dwproj
+            dbproj_acc[...] += dbproj
+
+        @pl.when(b == n_b - 1)
+        def _spill():
+            for j, (acc, ref) in enumerate([
+                    (dlns_acc, dlns_ref), (dlnb_acc, dlnb_ref),
+                    (dwqkv_acc, dwqkv_ref), (dbqkv_acc, dbqkv_ref),
+                    (dwproj_acc, dwproj_ref), (dbproj_acc, dbproj_ref)]):
+                dma = pltpu.make_async_copy(acc, ref.at[c], sems.at[j])
+                dma.start()
+                dma.wait()
+
+    return kernel
+
+
 def _make_bwd_kernel(H: int, IB: int):
     def kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                da_ref,
@@ -309,6 +450,88 @@ def _bwd_call(H, x, lns, lnb, wqkv, bqkv, wproj, da):
     )(x, lns, lnb, wqkv, bqkv, wproj, da)
 
 
+def _save_items_per_program(B: int, N: int, D: int, H: int,
+                            budget: int) -> int:
+    """IB for the residual-saving kernels: the p [H, N, N] and cat [N, D]
+    blocks join the per-item VMEM bill."""
+    per_item = (N * 3 * D * 4 * 2 + 3 * N * N * 4
+                + H * N * N * 4 + N * D * 4)
+    best = 1
+    for ib in range(2, B + 1):
+        if B % ib == 0 and ib * per_item < budget:
+            best = ib
+    return best
+
+
+def _fwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj):
+    n, B, N, D = x.shape
+    IB = _save_items_per_program(B, N, D, H, _FWD_VMEM_BUDGET)
+    item = pl.BlockSpec((1, IB, N, D), lambda c, b: (c, b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    p_item = pl.BlockSpec((1, IB, H, N, N), lambda c, b: (c, b, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    per_c = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda c, b: (c,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_fwd_save_kernel(H, IB),
+        grid=(n, B // IB),
+        in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, 3 * D)),
+                  per_c((1, 3 * D)), per_c((D, D)), per_c((1, D))],
+        out_specs=(item, p_item, item),
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct((n, B, H, N, N), x.dtype),
+                   jax.ShapeDtypeStruct(x.shape, x.dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * B * (N * D * 4 * D + 2 * N * N * D),
+            bytes_accessed=n * B * (2 * N * D + H * N * N + N * D)
+            * x.dtype.itemsize,
+            transcendentals=n * B * H * N * N,
+        ),
+        interpret=_interpret(),
+    )(x, lns, lnb, wqkv, bqkv, wproj, bproj)
+
+
+def _bwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, p, cat, da):
+    n, B, N, D = x.shape
+    IB = _save_items_per_program(B, N, D, H, _BWD_VMEM_BUDGET)
+    item = pl.BlockSpec((1, IB, N, D), lambda c, b: (c, b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    p_item = pl.BlockSpec((1, IB, H, N, N), lambda c, b: (c, b, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    per_c = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda c, b: (c,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        _make_bwd_save_kernel(H, IB),
+        grid=(n, B // IB),
+        in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, 3 * D)),
+                  per_c((1, 3 * D)), per_c((D, D)), p_item, item, item],
+        out_specs=(item, any_spec, any_spec, any_spec, any_spec, any_spec,
+                   any_spec),
+        scratch_shapes=[pltpu.VMEM((1, D), f32), pltpu.VMEM((1, D), f32),
+                        pltpu.VMEM((D, 3 * D), f32),
+                        pltpu.VMEM((1, 3 * D), f32),
+                        pltpu.VMEM((D, D), f32), pltpu.VMEM((1, D), f32),
+                        pltpu.SemaphoreType.DMA((6,))],
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct((n, 1, D), f32),
+                   jax.ShapeDtypeStruct((n, 1, D), f32),
+                   jax.ShapeDtypeStruct((n, D, 3 * D), f32),
+                   jax.ShapeDtypeStruct((n, 1, 3 * D), f32),
+                   jax.ShapeDtypeStruct((n, D, D), f32),
+                   jax.ShapeDtypeStruct((n, 1, D), f32)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * B * (N * D * 4 * D + 2 * N * N * D),
+            bytes_accessed=n * B * (4 * N * D + H * N * N) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x, lns, lnb, wqkv, bqkv, wproj, p, cat, da)
+
+
 # ------------------------------------------------ custom_vmap + custom_vjp --
 
 def _batch_arg(a, batched, axis_size):
@@ -316,9 +539,18 @@ def _batch_arg(a, batched, axis_size):
 
 
 @functools.lru_cache(maxsize=8)
-def make_fused_attention_sublayer(num_heads: int):
+def make_fused_attention_sublayer(num_heads: int,
+                                  save_residuals: bool = False):
     """Returns fn(x[B,N,D], ln_scale[D], ln_bias[D], wqkv[D,3D], bqkv[3D],
-    wproj[D,D], bproj[D]) -> a[B,N,D], differentiable and client-vmappable."""
+    wproj[D,D], bproj[D]) -> a[B,N,D], differentiable and client-vmappable.
+
+    ``save_residuals=True``: the differentiated forward emits the softmax
+    probabilities and head concat as extra kernel outputs, and the backward
+    consumes them instead of recomputing scores/softmax/AV — trading HBM
+    round-trips for the small-dot pipeline drain that dominates backward
+    time at hd=64.  Use WITHOUT a jax.checkpoint wrapper (a remat policy
+    that doesn't save the residuals would force the expensive forward to
+    run twice)."""
     H = num_heads
 
     @custom_vmap
@@ -344,21 +576,58 @@ def make_fused_attention_sublayer(num_heads: int):
                 for a, b in zip(args, in_batched)]
         return _bwd_call(H, *args), (True,) * 7
 
+    @custom_vmap
+    def fwd_save_cv(x, lns, lnb, wqkv, bqkv, wproj, bproj):
+        outs = _fwd_save_call(H, x[None], lns[None], lnb[None], wqkv[None],
+                              bqkv[None], wproj[None], bproj[None])
+        return tuple(o[0] for o in outs)
+
+    @fwd_save_cv.def_vmap
+    def _fwd_save_rule(axis_size, in_batched, *args):
+        args = [_batch_arg(a, b, axis_size)
+                for a, b in zip(args, in_batched)]
+        return _fwd_save_call(H, *args), (True,) * 3
+
+    @custom_vmap
+    def bwd_save_cv(x, lns, lnb, wqkv, bqkv, wproj, p, cat, da):
+        outs = _bwd_save_call(H, x[None], lns[None], lnb[None], wqkv[None],
+                              bqkv[None], wproj[None], p[None], cat[None],
+                              da[None])
+        return tuple(o[0] for o in outs)
+
+    @bwd_save_cv.def_vmap
+    def _bwd_save_rule(axis_size, in_batched, *args):
+        args = [_batch_arg(a, b, axis_size)
+                for a, b in zip(args, in_batched)]
+        return _bwd_save_call(H, *args), (True,) * 7
+
     @jax.custom_vjp
     def sublayer(x, lns, lnb, wqkv, bqkv, wproj, bproj):
         return fwd_cv(x, lns.reshape(1, -1), lnb.reshape(1, -1), wqkv,
                       bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1))
 
     def vjp_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj):
+        if save_residuals:
+            out, p, cat = fwd_save_cv(
+                x, lns.reshape(1, -1), lnb.reshape(1, -1), wqkv,
+                bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1))
+            return out, (x, lns, lnb, wqkv, bqkv, wproj, bproj, p, cat)
         out = fwd_cv(x, lns.reshape(1, -1), lnb.reshape(1, -1), wqkv,
                      bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1))
-        return out, (x, lns, lnb, wqkv, bqkv, wproj, bproj)
+        return out, (x, lns, lnb, wqkv, bqkv, wproj, bproj, None)
 
     def vjp_bwd(res, da):
-        x, lns, lnb, wqkv, bqkv, wproj, bproj = res
-        dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj = bwd_cv(
-            x, lns.reshape(1, -1), lnb.reshape(1, -1), wqkv,
-            bqkv.reshape(1, -1), wproj, da)
+        if save_residuals:
+            x, lns, lnb, wqkv, bqkv, wproj, bproj, p, cat = res
+            grads = bwd_save_cv(
+                x, lns.reshape(1, -1), lnb.reshape(1, -1), wqkv,
+                bqkv.reshape(1, -1), wproj, p, cat, da)
+        else:
+            x, lns, lnb, wqkv, bqkv, wproj, bproj, _ = res
+            grads = bwd_cv(
+                x, lns.reshape(1, -1), lnb.reshape(1, -1), wqkv,
+                bqkv.reshape(1, -1), wproj, da)
+        dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj = grads
         return (dx,
                 dlns.reshape(lns.shape).astype(lns.dtype),
                 dlnb.reshape(lnb.shape).astype(lnb.dtype),

@@ -73,6 +73,8 @@ VARIANTS = {
     "bf16_moments": {"remat_policy": "save_attn", "opt_moment_dtype": "bfloat16"},
     "txt_xla_attn": {"remat_policy": "save_attn", "fused_attn_min_seq": 128},
     "unroll12": {"scan_unroll": 12},
+    "unroll12_noremat": {"scan_unroll": 12, "remat": False},
+    "unroll12_kernel": {"scan_unroll": 12, "remat_policy": "kernel"},
     "unroll12_lnmlp": {"scan_unroll": 12},  # LN-fused MLP now default in-code
     "unroll4": {"scan_unroll": 4},
 }

@@ -34,7 +34,7 @@ def run_trace(outdir: str):
                     embed_dim=384, depth=12, num_heads=6,
                     vocab_size=30522, max_text_len=40,
                     use_pallas=True, use_fused_mlp=True,
-                    compute_dtype="bfloat16")
+                    compute_dtype="bfloat16", scan_unroll=12)
     spec = GroupSpec(modality="img+txt", criterion="ContrastiveLoss",
                      imnorm=True)
     opt = OptimizerSpec(name="AdamW")

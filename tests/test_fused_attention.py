@@ -76,3 +76,30 @@ def test_fused_attention_sublayer_vmapped():
     for a, b, nm in zip(gf, gp, ["dx", "dwqkv", "dwproj"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4, err_msg=nm)
+
+
+def test_save_residuals_grads_match_recompute_path():
+    """The residual-saving backward (p+cat stored by the forward) must
+    produce the same gradients as the recompute backward, unbatched and
+    under the client vmap."""
+    do = jnp.asarray(np.random.RandomState(9).randn(3, N, D), jnp.float32)
+    args = _args(3)
+    f_rec = make_fused_attention_sublayer(H, save_residuals=False)
+    f_sav = make_fused_attention_sublayer(H, save_residuals=True)
+    g_rec = jax.grad(lambda *a: jnp.sum(f_rec(*a) * do),
+                     argnums=tuple(range(7)))(*args)
+    g_sav = jax.grad(lambda *a: jnp.sum(f_sav(*a) * do),
+                     argnums=tuple(range(7)))(*args)
+    for a, b in zip(g_rec, g_sav):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+    # vmapped over a 2-client axis
+    vargs = tuple(jnp.stack([a, a * 1.01]) for a in args)
+    vdo = jnp.stack([do, do * 0.5])
+    gv_rec = jax.grad(lambda *a: jnp.sum(jax.vmap(f_rec)(*a) * vdo),
+                      argnums=(0, 3, 5))(*vargs)
+    gv_sav = jax.grad(lambda *a: jnp.sum(jax.vmap(f_sav)(*a) * vdo),
+                      argnums=(0, 3, 5))(*vargs)
+    for a, b in zip(gv_rec, gv_sav):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
