@@ -525,6 +525,8 @@ class FedAvgServer:
         fedavgserver.py:252)."""
         from fedcola_tpu.ops.losses import clip_contrastive, cross_entropy
         losses, sizes, per_client = [], [], {}
+        # one replicated parameter staging per dataset (not per client)
+        params_dev_of: Dict[str, object] = {}
         for i in ids:
             shard = self.data.client_shards[i]
             if shard.test_indices is None or len(shard.test_indices) == 0:
@@ -532,12 +534,18 @@ class FedAvgServer:
             ds = self.clients[i].dataset
             mcfg = self.model_cfgs[ds]
             spec = self._group_spec(ds)
-            fwd = build_eval_forward(mcfg, spec)
-            params = self.global_params[ds]
+            # client holdouts index into the TRAIN dataset, so the
+            # HBM-resident train arrays serve local eval too
+            resident = self._resident_data(ds, spec)
+            fwd = build_eval_forward(mcfg, spec,
+                                     resident=resident is not None)
+            if ds not in params_dev_of:
+                params_dev_of[ds] = self.mesh_plan.replicate(
+                    self.global_params[ds])
+            params_dev = params_dev_of[ds]
             metrics = ["acc1"] if self.clients[i].task == "cls" else ["f1"]
             mm = MetricManager(metrics if spec.modality != "img+txt" else [])
             B = self.mesh_plan.pad_eval_batch(self.cfg.B)
-            params_dev = self.mesh_plan.replicate(params)
             tidx = shard.test_indices
             for s in range(0, len(tidx), B):
                 sel = tidx[s:s + B]
@@ -546,19 +554,31 @@ class FedAvgServer:
                     if pad else sel
                 d = shard.dataset
                 if spec.modality == "img+txt":
-                    batch = {"x": d.load_images(gsel), "y": d.texts[gsel]}
+                    if resident is not None:
+                        batch = {"idx": gsel.astype(np.int32)}
+                    else:
+                        batch = {"x": d.load_images(gsel),
+                                 "y": d.texts[gsel]}
                     batch = self.mesh_plan.shard_eval_batch(batch)
-                    fi, ft = fwd(params_dev, batch)
+                    fi, ft = (fwd(params_dev, batch, resident)
+                              if resident is not None
+                              else fwd(params_dev, batch))
                     loss = float(clip_contrastive(fi[:len(sel)],
                                                   ft[:len(sel)]))
                     mm.track(loss, count=len(sel))
                 else:
-                    batch = {"x": (d.load_images(gsel)
-                                   if spec.modality == "img"
-                                   else d.texts[gsel]),
-                             "y": d.targets[gsel].astype(np.int32)}
+                    if resident is not None:
+                        batch = {"idx": gsel.astype(np.int32)}
+                    else:
+                        batch = {"x": (d.load_images(gsel)
+                                       if spec.modality == "img"
+                                       else d.texts[gsel]),
+                                 "y": d.targets[gsel].astype(np.int32)}
                     batch = self.mesh_plan.shard_eval_batch(batch)
-                    logits = np.asarray(fwd(params_dev, batch))[:len(sel)]
+                    logits = np.asarray(
+                        fwd(params_dev, batch, resident)
+                        if resident is not None
+                        else fwd(params_dev, batch))[:len(sel)]
                     y = d.targets[sel]
                     loss = float(cross_entropy(jnp.asarray(logits),
                                                jnp.asarray(y)))

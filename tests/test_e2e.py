@@ -131,3 +131,24 @@ def test_fedprox_and_fedopt_run():
     run_rounds(cfg, rounds=1)
     cfg = make_cfg(algorithm="fedadam", beta1=0.9)
     run_rounds(cfg, rounds=1)
+
+
+def test_local_eval_on_holdouts():
+    """--eval_type both: per-client holdout evaluation (the reference's is
+    broken for MAT, fedavgclient.py:140 — ours implements the intended
+    semantics) rides the resident plane and produces cohort summaries."""
+    cfg = make_cfg(eval_type="both", test_size=0.2, R=1)
+    rng = np.random.RandomState(cfg.seed)
+    from fedcola_tpu.data.loaders import load_federated_data
+    data = load_federated_data(cfg, rng)
+    assert any(s.test_indices is not None and len(s.test_indices)
+               for s in data.client_shards)
+    server = create_server(cfg, data)
+    server.round = 1
+    sampled = server.update()
+    server.evaluate(sampled)
+    res = server.results[1]
+    assert "clients_evaluated_in" in res or "clients_evaluated_out" in res
+    key = ("clients_evaluated_in" if "clients_evaluated_in" in res
+           else "clients_evaluated_out")
+    assert np.isfinite(res[key]["loss"]["avg"])
