@@ -402,6 +402,14 @@ def check_args(cfg: ExperimentConfig) -> ExperimentConfig:
                          f"supported: {sorted(known_criteria)} "
                          "(reference validates against torch.nn names, "
                          "src/utils.py:212-230)")
+    # binary-classification rewrite (src/utils.py:259-261): the reference
+    # runs check_args AFTER data loading, when args.num_classes holds the
+    # LAST dataset's class count — a binary final dataset flips the global
+    # criterion to BCEWithLogitsLoss (heads still come from the NUM_CLASS
+    # table, fedavgserver.py:151-155; PainlessBCE absorbs the shapes)
+    if (cfg.datasets and NUM_CLASS.get(cfg.datasets[-1]) == 2
+            and cfg.criterion == "CrossEntropyLoss"):
+        cfg.criterion = "BCEWithLogitsLoss"
     # broadcast per-dataset sampling fractions (fedavgserver.py:137-142)
     n_client_datasets = max(len(cfg.client_datasets), 1)
     if len(cfg.Cs) == 1:

@@ -130,3 +130,22 @@ def test_nan_guard_names_offending_clients():
     server.round = 1
     with pytest.raises(FloatingPointError, match="MedicalAbstracts"):
         server.update()
+
+
+def test_binary_last_dataset_rewrites_criterion_to_bce(monkeypatch):
+    """src/utils.py:259-261 parity: when the final (server-eval) dataset is
+    binary, the global criterion flips to BCEWithLogitsLoss."""
+    from fedcola_tpu import config as cfgmod
+    monkeypatch.setitem(cfgmod.NUM_CLASS, "BinaryToy", 2)
+    monkeypatch.setitem(cfgmod.DATASET_2_TASK, "BinaryToy", "cls")
+    monkeypatch.setitem(cfgmod.DATASET_2_MODALITY, "BinaryToy", "img")
+    cfg = check_args(ExperimentConfig(
+        multi_task=True, datasets=["BinaryToy", "BinaryToy"],
+        modalities=["img"], Ks=[2], Cs=[1.0],
+        criterion="CrossEntropyLoss"))
+    assert cfg.criterion == "BCEWithLogitsLoss"
+    cfg2 = check_args(ExperimentConfig(
+        multi_task=True, datasets=["CIFAR100", "CIFAR100"],
+        modalities=["img"], Ks=[2], Cs=[1.0],
+        criterion="CrossEntropyLoss"))
+    assert cfg2.criterion == "CrossEntropyLoss"
