@@ -72,6 +72,27 @@ class FedAvgServer:
         self.shuffle_rng = np.random.RandomState(cfg.seed + 1)
         self.key = jax.random.PRNGKey(cfg.seed)
 
+        # device mesh (SURVEY.md §2.8 P1/P3/P4: replaces the reference's
+        # thread pool + DataParallel + round-robin CUDA placement).  The
+        # ``clients`` axis shards stacked client trees; an optional ``data``
+        # axis (--mesh_shape 4 2 --mesh_axes clients data) adds intra-client
+        # batch parallelism; eval batches shard over the flattened mesh.
+        from fedcola_tpu.parallel.mesh import MeshPlan
+        self.mesh_plan = MeshPlan.build(cfg.mesh_shape, cfg.mesh_axes)
+        if self.mesh_plan.model_axis > 1 and cfg.use_pallas:
+            # the fused kernels are per-device programs (custom_vmap over
+            # clients); tensor-parallel weight shards require the XLA path
+            # where the partitioner can insert the Megatron psums
+            logger.warning("[MESH] model (TP) axis active: disabling the "
+                           "fused Pallas kernels (TP partitions the XLA "
+                           "path)")
+            cfg.use_pallas = False
+        self._resident_cache: Dict[str, Optional[Dict]] = {}
+        self.mesh = self.mesh_plan.mesh
+        if self.mesh is not None:
+            logger.info("[MESH] %s over %d devices",
+                        dict(self.mesh.shape), self.mesh.size)
+
         # one global model per client dataset (fedavgserver.py:144-158)
         self.model_cfgs = {}
         self.global_params = {}
@@ -100,18 +121,6 @@ class FedAvgServer:
         self.client_modality_of = [data.client_meta[i].modality
                                    for i in range(data.K)]
 
-        # device mesh (SURVEY.md §2.8 P1/P3/P4: replaces the reference's
-        # thread pool + DataParallel + round-robin CUDA placement).  The
-        # ``clients`` axis shards stacked client trees; an optional ``data``
-        # axis (--mesh_shape 4 2 --mesh_axes clients data) adds intra-client
-        # batch parallelism; eval batches shard over the flattened mesh.
-        from fedcola_tpu.parallel.mesh import MeshPlan
-        self.mesh_plan = MeshPlan.build(cfg.mesh_shape, cfg.mesh_axes)
-        self._resident_cache: Dict[str, Optional[Dict]] = {}
-        self.mesh = self.mesh_plan.mesh
-        if self.mesh is not None:
-            logger.info("[MESH] %s over %d devices",
-                        dict(self.mesh.shape), self.mesh.size)
 
     # ---------------------------------------------------------------- util --
 

@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 logger = logging.getLogger(__name__)
 
-VALID_AXES = ("clients", "data")
+VALID_AXES = ("clients", "data", "model")
 
 
 @dataclass(frozen=True)
@@ -88,6 +88,13 @@ class MeshPlan:
             return 1
         return self.mesh.shape.get("data", 1)
 
+    @property
+    def model_axis(self) -> int:
+        """Tensor-parallel axis size (1 = TP off)."""
+        if self.mesh is None:
+            return 1
+        return self.mesh.shape.get("model", 1)
+
     # ------------------------------------------------------------- padding --
     def pad_clients(self, n: int) -> int:
         """Stacked client axes must divide the mesh's clients axis."""
@@ -100,10 +107,45 @@ class MeshPlan:
         return ((b + m - 1) // m) * m
 
     # ------------------------------------------------------------ sharding --
+    # Megatron-style tensor-parallel layout for the MAT block kernels
+    # (SURVEY.md §2.8 P5: optional param sharding for larger MATs): fc1/qkv
+    # column-parallel (output features sharded), fc2/proj row-parallel
+    # (input features sharded) — XLA inserts the one psum per sublayer the
+    # pattern needs; the word-embedding table shards its vocabulary rows.
+    # Leaf names are matched on the stacked [n_clients, depth, ...] trees.
+    _TP_RULES = {
+        "fc1_kernel": (3, "model"), "fc1_bias": (2, "model"),
+        "qkv_kernel": (3, "model"), "qkv_bias": (2, "model"),
+        "fc2_kernel": (2, "model"), "proj_kernel": (2, "model"),
+        "fc1_aux": (3, "model"), "qkv_aux": (3, "model"),
+        "fc2_aux": (2, "model"), "proj_aux": (2, "model"),
+        "word": (1, "model"),
+    }
+
+    def _leaf_spec(self, path, leaf) -> P:
+        if self.model_axis > 1:
+            name = path[-1].key if path and hasattr(path[-1], "key") else None
+            rule = self._TP_RULES.get(name)
+            if rule is not None:
+                dim, axis = rule
+                if leaf.ndim > dim and leaf.shape[dim] % self.model_axis == 0:
+                    parts = [None] * leaf.ndim
+                    parts[0] = "clients"
+                    parts[dim] = axis
+                    return P(*parts)
+        return P("clients")
+
     def shard_client_tree(self, tree):
-        """Leading axis = clients; replicated over the data axis."""
+        """Leading axis = clients; TP-ruled block kernels additionally
+        shard a feature dimension over the ``model`` axis; everything else
+        replicates over data/model."""
         if self.mesh is None:
             return tree
+        if self.model_axis > 1:
+            return jax.tree_util.tree_map_with_path(
+                lambda p, x: jax.device_put(
+                    x, NamedSharding(self.mesh, self._leaf_spec(p, x))),
+                tree)
         return jax.device_put(tree, NamedSharding(self.mesh, P("clients")))
 
     def shard_chunk(self, chunk: Dict, batch_axis: int = 2) -> Dict:

@@ -112,3 +112,42 @@ def test_shard_chunk_layout():
     ev = plan.shard_eval_batch({"x": np.zeros((16, 4)), "y": np.zeros((15,))})
     assert ev["x"].sharding.spec[0] == ("clients", "data")
     assert not ev["y"].sharding.spec  # non-divisible -> replicated
+
+
+def test_tensor_parallel_model_axis_matches_1dev():
+    """(clients=2, model=2) TP mesh: Megatron-style sharded block kernels
+    (fc1/qkv column-parallel, fc2/proj row-parallel, vocab-sharded word
+    embeddings) must reproduce the single-device round; XLA inserts the
+    collectives (SURVEY.md §2.8 P5 optional TP for larger MATs)."""
+    s1 = _run([1], optimizer="SGD", lr=1e-2)
+    stp = _run([2, 2], ["clients", "model"], optimizer="SGD", lr=1e-2)
+    assert dict(stp.mesh.shape) == {"clients": 2, "model": 2}
+    f1, f2 = _flat(s1), _flat(stp)
+    for k in f1:
+        np.testing.assert_allclose(f1[k], f2[k], rtol=2e-5, atol=2e-6,
+                                   err_msg=k)
+    for ds in ("CIFAR100", "AG_NEWS"):
+        r1 = s1.results[1][f"server_evaluated_{ds}"]
+        r2 = stp.results[1][f"server_evaluated_{ds}"]
+        assert abs(r1["loss"] - r2["loss"]) < 1e-4
+
+
+def test_tp_leaf_specs():
+    plan = MeshPlan.build([2, 2], ["clients", "model"])
+    import jax.numpy as jnp
+    tree = {"blk": {"0": {
+        "fc1_kernel": jnp.zeros((2, 2, 8, 32)),
+        "fc2_kernel": jnp.zeros((2, 2, 32, 8)),
+        "qkv_bias": jnp.zeros((2, 2, 24)),
+        "norm1_scale": jnp.zeros((2, 2, 8)),
+    }}, "emb": {"1": {"word": jnp.zeros((2, 40, 8))}}}
+    out = plan.shard_client_tree(tree)
+    def spec4(x, n):
+        t = tuple(x.sharding.spec)
+        return t + (None,) * (n - len(t))
+    b = out["blk"]["0"]
+    assert spec4(b["fc1_kernel"], 4) == ("clients", None, None, "model")
+    assert spec4(b["fc2_kernel"], 4) == ("clients", None, "model", None)
+    assert spec4(b["qkv_bias"], 3) == ("clients", None, "model")
+    assert spec4(b["norm1_scale"], 3) == ("clients", None, None)
+    assert spec4(out["emb"]["1"]["word"], 3) == ("clients", "model", None)
