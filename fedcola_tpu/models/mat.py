@@ -365,17 +365,17 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
         h = h + (_drop_path(a, rate, rng_a, train) if use_dp else a)
         if cfg.fused_mlp_ok and jax.default_backend() == "tpu":
             # LN2 is folded into the kernel (like LN1 in the attention
-            # sublayer): the f32 LN intermediates never leave VMEM
-            from fedcola_tpu.ops.fused_mlp import fused_mlp_sublayer
-            B_, N_, D_ = h.shape
-            m = fused_mlp_sublayer(h.reshape(B_ * N_, D_),
-                                   layer["norm2_scale"],
-                                   layer["norm2_bias"],
-                                   layer["fc1_kernel"].astype(h.dtype),
-                                   layer["fc1_bias"].astype(h.dtype),
-                                   layer["fc2_kernel"].astype(h.dtype),
-                                   layer["fc2_bias"].astype(h.dtype))
-            m = m.reshape(B_, N_, D_)
+            # sublayer) and the grid runs over batch items: no
+            # [B, N, D] -> rows flatten, whose sublane relayout at N=197
+            # cost ~3.4 ms/step at the bench shape
+            from fedcola_tpu.ops.fused_mlp import fused_mlp_sublayer_items
+            m = fused_mlp_sublayer_items(
+                h,
+                layer["norm2_scale"], layer["norm2_bias"],
+                layer["fc1_kernel"].astype(h.dtype),
+                layer["fc1_bias"].astype(h.dtype),
+                layer["fc2_kernel"].astype(h.dtype),
+                layer["fc2_bias"].astype(h.dtype))
         else:
             m = _layer_norm(h, layer["norm2_scale"], layer["norm2_bias"],
                             1e-5)

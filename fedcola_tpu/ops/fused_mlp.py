@@ -491,3 +491,221 @@ def _ln_vjp_bwd(res, do):
 
 
 fused_mlp_sublayer.defvjp(_ln_vjp_fwd, _ln_vjp_bwd)
+
+
+# ---------------------------------------------- item-mode MLP sublayer -----
+# Same math as fused_mlp_sublayer but shaped [B, N, D]: the grid runs over
+# batch items like the attention kernels, so the caller never flattens
+# [B, N, D] -> [B*N, D].  That flatten is NOT free on TPU: N=197 breaks the
+# (8,128) sublane tiling at every item boundary, so XLA materialises a
+# physical relayout of the whole activation before AND after the rows-mode
+# kernel (~3.4 ms/step at the bench shape), plus row padding.
+
+def _mlp_items_per_program(B: int, N: int, Hd: int, budget: int) -> int:
+    per_item = N * Hd * 4 * 3          # pre/h/dpre f32 tiles dominate
+    best = 1
+    for ib in range(2, B + 1):
+        if B % ib == 0 and ib * per_item < budget:
+            best = ib
+    return best
+
+
+_MLP_VMEM_BUDGET = int(os.environ.get("FEDCOLA_MLP_VMEM", 8 * 1024 * 1024))
+
+
+def _make_ln_item_fwd_kernel(IB: int):
+    def kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               o_ref):
+        for i in range(IB):
+            hnorm, _, _ = _ln_rows(x_ref[0, i], lns_ref[0, 0], lnb_ref[0, 0])
+            o_ref[0, i] = _fwd_math(hnorm.astype(x_ref.dtype), w1_ref[0],
+                                    b1_ref[0], w2_ref[0], b2_ref[0],
+                                    o_ref.dtype)
+    return kernel
+
+
+def _make_ln_item_bwd_kernel(IB: int):
+    def kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, do_ref,
+               dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
+               db2_ref,
+               dlns_acc, dlnb_acc, dw1_acc, db1_acc, dw2_acc, db2_acc,
+               sems):
+        c = pl.program_id(0)
+        b = pl.program_id(1)
+        n_b = pl.num_programs(1)
+
+        @pl.when(b == 0)
+        def _init():
+            dlns_acc[...] = jnp.zeros_like(dlns_acc)
+            dlnb_acc[...] = jnp.zeros_like(dlnb_acc)
+            dw1_acc[...] = jnp.zeros_like(dw1_acc)
+            db1_acc[...] = jnp.zeros_like(db1_acc)
+            dw2_acc[...] = jnp.zeros_like(dw2_acc)
+            db2_acc[...] = jnp.zeros_like(db2_acc)
+
+        for i in range(IB):
+            x = x_ref[0, i]
+            dt = x.dtype
+            lns = lns_ref[0, 0].astype(jnp.float32)
+            hnorm, xhat, inv = _ln_rows(x, lns_ref[0, 0], lnb_ref[0, 0])
+            hc = hnorm.astype(dt)
+            w1 = w1_ref[0].astype(dt)
+            w2 = w2_ref[0].astype(dt)
+            do = do_ref[0, i].astype(dt)
+            pre = jnp.dot(hc, w1, preferred_element_type=jnp.float32) \
+                + b1_ref[0].astype(jnp.float32)
+            h = _gelu_exact(pre)
+            dh = jax.lax.dot_general(do, w2, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            cdf = 0.5 * (1.0 + _erf(pre * 0.7071067811865475))
+            pdf = jnp.exp(-0.5 * pre * pre) * 0.3989422804014327
+            dpre = dh * (cdf + pre * pdf)
+            dpre_c = dpre.astype(dt)
+            dhnorm = jax.lax.dot_general(dpre_c, w1, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            dw1 = jax.lax.dot_general(hc, dpre_c, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            db1 = jnp.sum(dpre, axis=0, keepdims=True)
+            dw2 = jax.lax.dot_general(h.astype(dt), do,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            db2 = jnp.sum(do.astype(jnp.float32), axis=0, keepdims=True)
+            dg = dhnorm * lns
+            m1 = jnp.mean(dg, axis=-1, keepdims=True)
+            m2 = jnp.mean(dg * xhat, axis=-1, keepdims=True)
+            dx_ref[0, i] = (inv * (dg - m1 - xhat * m2)).astype(dx_ref.dtype)
+            dlns_acc[...] += jnp.sum(dhnorm * xhat, axis=0, keepdims=True)
+            dlnb_acc[...] += jnp.sum(dhnorm, axis=0, keepdims=True)
+            dw1_acc[...] += dw1
+            db1_acc[...] += db1
+            dw2_acc[...] += dw2
+            db2_acc[...] += db2
+
+        @pl.when(b == n_b - 1)
+        def _spill():
+            for j, (acc, ref) in enumerate([
+                    (dlns_acc, dlns_ref), (dlnb_acc, dlnb_ref),
+                    (dw1_acc, dw1_ref), (db1_acc, db1_ref),
+                    (dw2_acc, dw2_ref), (db2_acc, db2_ref)]):
+                dma = pltpu.make_async_copy(acc, ref.at[c], sems.at[j])
+                dma.start()
+                dma.wait()
+    return kernel
+
+
+def _ln_item_fwd_call(x, lns, lnb, w1, b1, w2, b2):
+    n, B, N, D = x.shape
+    Hd = w1.shape[-1]
+    IB = _mlp_items_per_program(B, N, Hd, _MLP_VMEM_BUDGET)
+    item = pl.BlockSpec((1, IB, N, D), lambda c, b: (c, b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    per_c = lambda shape: pl.BlockSpec((1,) + shape,
+                                       lambda c, b: (c,) + (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_ln_item_fwd_kernel(IB),
+        grid=(n, B // IB),
+        in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, Hd)),
+                  per_c((1, Hd)), per_c((Hd, D)), per_c((1, D))],
+        out_specs=item,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * B * N * D * Hd,
+            bytes_accessed=(n * B * N * D * 2 + n * D * Hd * 2)
+            * x.dtype.itemsize,
+            transcendentals=n * B * N * Hd,
+        ),
+        interpret=_interpret(),
+    )(x, lns, lnb, w1, b1, w2, b2)
+
+
+def _ln_item_bwd_call(x, lns, lnb, w1, b1, w2, do):
+    n, B, N, D = x.shape
+    Hd = w1.shape[-1]
+    IB = _mlp_items_per_program(B, N, Hd, _MLP_VMEM_BUDGET)
+    item = pl.BlockSpec((1, IB, N, D), lambda c, b: (c, b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    per_c = lambda shape: pl.BlockSpec((1,) + shape,
+                                       lambda c, b: (c,) + (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    anys = pl.BlockSpec(memory_space=pl.ANY)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        _make_ln_item_bwd_kernel(IB),
+        grid=(n, B // IB),
+        in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, Hd)),
+                  per_c((1, Hd)), per_c((Hd, D)), item],
+        out_specs=(item,) + (anys,) * 6,
+        scratch_shapes=[pltpu.VMEM((1, D), f32), pltpu.VMEM((1, D), f32),
+                        pltpu.VMEM((D, Hd), f32), pltpu.VMEM((1, Hd), f32),
+                        pltpu.VMEM((Hd, D), f32), pltpu.VMEM((1, D), f32),
+                        pltpu.SemaphoreType.DMA((6,))],
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct((n, 1, D), f32),
+                   jax.ShapeDtypeStruct((n, 1, D), f32),
+                   jax.ShapeDtypeStruct((n, D, Hd), f32),
+                   jax.ShapeDtypeStruct((n, 1, Hd), f32),
+                   jax.ShapeDtypeStruct((n, Hd, D), f32),
+                   jax.ShapeDtypeStruct((n, 1, D), f32)),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n * B * N * D * Hd,
+            bytes_accessed=(n * B * N * D * 4 + n * D * Hd * 4) * 4,
+            transcendentals=2 * n * B * N * Hd,
+        ),
+        interpret=_interpret(),
+    )(x, lns, lnb, w1, b1, w2, do)
+
+
+@custom_vmap
+def _ln_item_fwd_cv(x, lns, lnb, w1, b1, w2, b2):
+    return _ln_item_fwd_call(x[None], lns[None], lnb[None], w1[None],
+                             b1[None], w2[None], b2[None])[0]
+
+
+@_ln_item_fwd_cv.def_vmap
+def _ln_item_fwd_rule(axis_size, in_batched, *args):
+    args = [_batch_arg(a, b, axis_size) for a, b in zip(args, in_batched)]
+    return _ln_item_fwd_call(*args), True
+
+
+@custom_vmap
+def _ln_item_bwd_cv(x, lns, lnb, w1, b1, w2, do):
+    outs = _ln_item_bwd_call(x[None], lns[None], lnb[None], w1[None],
+                             b1[None], w2[None], do[None])
+    return tuple(o[0] for o in outs)
+
+
+@_ln_item_bwd_cv.def_vmap
+def _ln_item_bwd_rule(axis_size, in_batched, *args):
+    args = [_batch_arg(a, b, axis_size) for a, b in zip(args, in_batched)]
+    return _ln_item_bwd_call(*args), (True,) * 7
+
+
+@jax.custom_vjp
+def fused_mlp_sublayer_items(x, lns, lnb, w1, b1, w2, b2):
+    """LN-folded MLP sublayer over [B, N, D] items (no row flattening)."""
+    return _ln_item_fwd_cv(x, lns.reshape(1, -1), lnb.reshape(1, -1), w1,
+                           b1.reshape(1, -1), w2, b2.reshape(1, -1))
+
+
+def _ln_item_vjp_fwd(x, lns, lnb, w1, b1, w2, b2):
+    out = _ln_item_fwd_cv(x, lns.reshape(1, -1), lnb.reshape(1, -1), w1,
+                          b1.reshape(1, -1), w2, b2.reshape(1, -1))
+    return out, (x, lns, lnb, w1, b1, w2, b2)
+
+
+def _ln_item_vjp_bwd(res, do):
+    x, lns, lnb, w1, b1, w2, b2 = res
+    dx, dlns, dlnb, dw1, db1, dw2, db2 = _ln_item_bwd_cv(
+        x, lns.reshape(1, -1), lnb.reshape(1, -1), w1, b1.reshape(1, -1),
+        w2, do)
+    return (dx,
+            dlns.reshape(lns.shape).astype(lns.dtype),
+            dlnb.reshape(lnb.shape).astype(lnb.dtype),
+            dw1.astype(w1.dtype),
+            db1.reshape(b1.shape).astype(b1.dtype),
+            dw2.astype(w2.dtype),
+            db2.reshape(b2.shape).astype(b2.dtype))
+
+
+fused_mlp_sublayer_items.defvjp(_ln_item_vjp_fwd, _ln_item_vjp_bwd)

@@ -104,3 +104,39 @@ def test_fused_mlp_sublayer_matches_unfused_ln_mlp():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_item_mode_sublayer_matches_rows_mode():
+    """fused_mlp_sublayer_items ([B,N,D] grid over items) must agree with
+    the rows-mode sublayer on outputs and all gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fedcola_tpu.ops.fused_mlp import (fused_mlp_sublayer,
+                                           fused_mlp_sublayer_items)
+
+    rng = np.random.RandomState(6)
+    B, N, D, H = 4, 12, 128, 256
+    x = jnp.asarray(rng.randn(B, N, D), jnp.float32)
+    lns = jnp.asarray(rng.rand(D) + 0.5, jnp.float32)
+    lnb = jnp.asarray(rng.randn(D) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.randn(D, H) / np.sqrt(D), jnp.float32)
+    b1 = jnp.asarray(rng.randn(H) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.randn(H, D) / np.sqrt(H), jnp.float32)
+    b2 = jnp.asarray(rng.randn(D) * 0.01, jnp.float32)
+
+    def loss_rows(x, *w):
+        return jnp.sum(jnp.square(
+            fused_mlp_sublayer(x.reshape(B * N, D), *w)))
+
+    def loss_items(x, *w):
+        return jnp.sum(jnp.square(fused_mlp_sublayer_items(x, *w)))
+
+    args = (x, lns, lnb, w1, b1, w2, b2)
+    gr = jax.grad(loss_rows, argnums=tuple(range(7)))(*args)
+    gi = jax.grad(loss_items, argnums=tuple(range(7)))(*args)
+    np.testing.assert_allclose(np.asarray(loss_rows(*args)),
+                               np.asarray(loss_items(*args)), rtol=2e-5)
+    for a, b in zip(gr, gi):
+        np.testing.assert_allclose(np.asarray(a).reshape(np.asarray(b).shape),
+                                   np.asarray(b), rtol=2e-4, atol=2e-4)
