@@ -82,5 +82,11 @@ VARIANTS = {
 if __name__ == "__main__":
     names = sys.argv[1:] or list(VARIANTS)
     for name in names:
+        if name.startswith("n="):            # client-stacking scaling probe
+            n = int(name[2:])
+            sps = measure({"scan_unroll": 12}, n=n)
+            print(f"{name:16s} {sps:9.1f} samples/s ({sps/n:.1f}/client)",
+                  flush=True)
+            continue
         sps = measure(VARIANTS[name])
         print(f"{name:16s} {sps:9.1f} samples/s", flush=True)
