@@ -20,8 +20,6 @@ Implemented directly (not via optax) so that:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Optional
-
 import jax
 import jax.numpy as jnp
 

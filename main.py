@@ -7,7 +7,6 @@ flickr.sh`` invocations run unmodified on this framework.
 
 from __future__ import annotations
 
-import logging
 import os
 import sys
 import time
