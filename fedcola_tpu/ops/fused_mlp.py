@@ -514,13 +514,24 @@ _MLP_VMEM_BUDGET = int(os.environ.get("FEDCOLA_MLP_VMEM", 8 * 1024 * 1024))
 
 
 def _make_ln_item_fwd_kernel(IB: int):
+    """Phase-separated across items: all LNs (VPU), all fc1 dots (MXU),
+    all GELUs (VPU), all fc2 dots (MXU) — each phase's ops are
+    independent, so the scheduler can overlap one item's GELU with the
+    next item's matmul instead of serialising the per-item chain."""
     def kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                o_ref):
+        dt = x_ref.dtype
+        w1 = w1_ref[0].astype(dt)
+        w2 = w2_ref[0].astype(dt)
+        hs = [_ln_rows(x_ref[0, i], lns_ref[0, 0], lnb_ref[0, 0])[0]
+              .astype(dt) for i in range(IB)]
+        pres = [jnp.dot(h, w1, preferred_element_type=jnp.float32)
+                + b1_ref[0].astype(jnp.float32) for h in hs]
+        gs = [_gelu_exact(p).astype(dt) for p in pres]
         for i in range(IB):
-            hnorm, _, _ = _ln_rows(x_ref[0, i], lns_ref[0, 0], lnb_ref[0, 0])
-            o_ref[0, i] = _fwd_math(hnorm.astype(x_ref.dtype), w1_ref[0],
-                                    b1_ref[0], w2_ref[0], b2_ref[0],
-                                    o_ref.dtype)
+            o = jnp.dot(gs[i], w2, preferred_element_type=jnp.float32) \
+                + b2_ref[0].astype(jnp.float32)
+            o_ref[0, i] = o.astype(o_ref.dtype)
     return kernel
 
 
@@ -543,43 +554,54 @@ def _make_ln_item_bwd_kernel(IB: int):
             dw2_acc[...] = jnp.zeros_like(dw2_acc)
             db2_acc[...] = jnp.zeros_like(db2_acc)
 
+        # phase-separated across items (see _make_ln_item_fwd_kernel)
+        dt = x_ref.dtype
+        lns = lns_ref[0, 0].astype(jnp.float32)
+        w1 = w1_ref[0].astype(dt)
+        w2 = w2_ref[0].astype(dt)
+        lnouts = [_ln_rows(x_ref[0, i], lns_ref[0, 0], lnb_ref[0, 0])
+                  for i in range(IB)]
+        hcs = [o[0].astype(dt) for o in lnouts]
+        dos = [do_ref[0, i].astype(dt) for i in range(IB)]
+        pres = [jnp.dot(hcs[i], w1, preferred_element_type=jnp.float32)
+                + b1_ref[0].astype(jnp.float32) for i in range(IB)]
+        dhs = [jax.lax.dot_general(dos[i], w2, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+               for i in range(IB)]
+        hs, dpres = [], []
         for i in range(IB):
-            x = x_ref[0, i]
-            dt = x.dtype
-            lns = lns_ref[0, 0].astype(jnp.float32)
-            hnorm, xhat, inv = _ln_rows(x, lns_ref[0, 0], lnb_ref[0, 0])
-            hc = hnorm.astype(dt)
-            w1 = w1_ref[0].astype(dt)
-            w2 = w2_ref[0].astype(dt)
-            do = do_ref[0, i].astype(dt)
-            pre = jnp.dot(hc, w1, preferred_element_type=jnp.float32) \
-                + b1_ref[0].astype(jnp.float32)
-            h = _gelu_exact(pre)
-            dh = jax.lax.dot_general(do, w2, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+            pre = pres[i]
+            hs.append(_gelu_exact(pre))
             cdf = 0.5 * (1.0 + _erf(pre * 0.7071067811865475))
             pdf = jnp.exp(-0.5 * pre * pre) * 0.3989422804014327
-            dpre = dh * (cdf + pre * pdf)
-            dpre_c = dpre.astype(dt)
-            dhnorm = jax.lax.dot_general(dpre_c, w1, (((1,), (1,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-            dw1 = jax.lax.dot_general(hc, dpre_c, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            db1 = jnp.sum(dpre, axis=0, keepdims=True)
-            dw2 = jax.lax.dot_general(h.astype(dt), do,
-                                      (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            db2 = jnp.sum(do.astype(jnp.float32), axis=0, keepdims=True)
+            dpres.append(dhs[i] * (cdf + pre * pdf))
+        dpre_cs = [d.astype(dt) for d in dpres]
+        dhnorms = [jax.lax.dot_general(dpre_cs[i], w1,
+                                       (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+                   for i in range(IB)]
+        dw1s = [jax.lax.dot_general(hcs[i], dpre_cs[i],
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                for i in range(IB)]
+        dw2s = [jax.lax.dot_general(hs[i].astype(dt), dos[i],
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                for i in range(IB)]
+        for i in range(IB):
+            _, xhat, inv = lnouts[i]
+            dhnorm = dhnorms[i]
             dg = dhnorm * lns
             m1 = jnp.mean(dg, axis=-1, keepdims=True)
             m2 = jnp.mean(dg * xhat, axis=-1, keepdims=True)
             dx_ref[0, i] = (inv * (dg - m1 - xhat * m2)).astype(dx_ref.dtype)
             dlns_acc[...] += jnp.sum(dhnorm * xhat, axis=0, keepdims=True)
             dlnb_acc[...] += jnp.sum(dhnorm, axis=0, keepdims=True)
-            dw1_acc[...] += dw1
-            db1_acc[...] += db1
-            dw2_acc[...] += dw2
-            db2_acc[...] += db2
+            dw1_acc[...] += dw1s[i]
+            db1_acc[...] += jnp.sum(dpres[i], axis=0, keepdims=True)
+            dw2_acc[...] += dw2s[i]
+            db2_acc[...] += jnp.sum(dos[i].astype(jnp.float32), axis=0,
+                                    keepdims=True)
 
         @pl.when(b == n_b - 1)
         def _spill():
