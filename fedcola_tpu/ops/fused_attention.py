@@ -151,78 +151,94 @@ def _make_bwd_save_kernel(H: int, IB: int):
             dwproj_acc[...] = jnp.zeros_like(dwproj_acc)
             dbproj_acc[...] = jnp.zeros_like(dbproj_acc)
 
-        for item in range(IB):
-            x = x_ref[0, item]
-            N, D = x.shape
-            hd = D // H
-            scale = hd ** -0.5
-            dtype = x.dtype
-            da = da_ref[0, item].astype(jnp.float32)
-            lns = lns_ref[0, 0].astype(jnp.float32)
+        # phase-separated across item GROUPS and heads: ops within a phase
+        # are independent, letting the scheduler overlap VPU softmax-grad
+        # math with MXU dots; groups cap the number of items whose
+        # intermediates are live at once (VMEM scales with the group)
+        dtype = x_ref.dtype
+        lns = lns_ref[0, 0].astype(jnp.float32)
+        wqkv = wqkv_ref[0].astype(dtype)
+        wproj = wproj_ref[0].astype(dtype)
+        N, D = x_ref.shape[2], x_ref.shape[3]
+        hd = D // H
+        scale = hd ** -0.5
 
-            hnorm, xhat, inv = _ln_fwd(x, lns_ref[0, 0], lnb_ref[0, 0])
-            h = hnorm.astype(dtype)
-            wqkv = wqkv_ref[0].astype(dtype)
-            qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32) \
-                + bqkv_ref[0, 0].astype(jnp.float32)
-            qkv = qkv.astype(dtype)
-            cat = cat_ref[0, item]
+        for g0 in range(0, IB, 2):
+          group = range(g0, min(g0 + 2, IB))
+          lnouts = {i: _ln_fwd(x_ref[0, i], lns_ref[0, 0], lnb_ref[0, 0])
+                    for i in group}
+          hs = {i: lnouts[i][0].astype(dtype) for i in group}
+          das = {i: da_ref[0, i].astype(jnp.float32) for i in group}
+          da_cs = {i: das[i].astype(dtype) for i in group}
+          cats = {i: cat_ref[0, i] for i in group}
+          qkvs = {i: (jnp.dot(hs[i], wqkv,
+                              preferred_element_type=jnp.float32)
+                      + bqkv_ref[0, 0].astype(jnp.float32)).astype(dtype)
+                  for i in group}
+          dwprojs = {i: jax.lax.dot_general(
+                         cats[i], da_cs[i], (((0,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32) for i in group}
+          dcats = {i: jax.lax.dot_general(
+                       da_cs[i], wproj, (((1,), (1,)), ((), ())),
+                       preferred_element_type=jnp.float32) for i in group}
 
-            da_c = da.astype(dtype)
-            dwproj = jax.lax.dot_general(cat, da_c, (((0,), (0,)), ((), ())),
+          dos = {i: [dcats[i][:, hh * hd:(hh + 1) * hd].astype(dtype)
+                     for hh in range(H)] for i in group}
+          ps_c = {i: [p_ref[0, i, hh] for hh in range(H)] for i in group}
+          dvs = {i: [jax.lax.dot_general(ps_c[i][hh], dos[i][hh],
+                                         (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
-            dbproj = jnp.sum(da, axis=0, keepdims=True)
-            dcat = jax.lax.dot_general(da_c, wproj_ref[0].astype(dtype),
-                                       (((1,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
+                     for hh in range(H)] for i in group}
+          dps = {i: [jax.lax.dot_general(
+                         dos[i][hh],
+                         qkvs[i][:, 2 * D + hh * hd:2 * D + (hh + 1) * hd],
+                         (((1,), (1,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+                     for hh in range(H)] for i in group}
+          dss = {}
+          for i in group:
+              row = []
+              for hh in range(H):
+                  p = ps_c[i][hh].astype(jnp.float32)
+                  dp = dps[i][hh]
+                  delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+                  row.append((p * (dp - delta)).astype(dtype))
+              dss[i] = row
+          dqs = {i: [jnp.dot(dss[i][hh],
+                             qkvs[i][:, D + hh * hd:D + (hh + 1) * hd],
+                             preferred_element_type=jnp.float32) * scale
+                     for hh in range(H)] for i in group}
+          dks = {i: [jax.lax.dot_general(
+                         dss[i][hh], qkvs[i][:, hh * hd:(hh + 1) * hd],
+                         (((0,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32) * scale
+                     for hh in range(H)] for i in group}
+          dqkvs = {i: jnp.concatenate(
+              [jnp.concatenate(dqs[i], axis=1),
+               jnp.concatenate(dks[i], axis=1),
+               jnp.concatenate(dvs[i], axis=1)], axis=1) for i in group}
+          dqkv_cs = {i: dqkvs[i].astype(dtype) for i in group}
+          dwqkvs = {i: jax.lax.dot_general(
+                        hs[i], dqkv_cs[i], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) for i in group}
+          dhs = {i: jax.lax.dot_general(
+                      dqkv_cs[i], wqkv, (((1,), (1,)), ((), ())),
+                      preferred_element_type=jnp.float32) for i in group}
 
-            dos = [dcat[:, hh * hd:(hh + 1) * hd].astype(dtype)
-                   for hh in range(H)]
-            ps_c = [p_ref[0, item, hh] for hh in range(H)]
-            ps_f = [p.astype(jnp.float32) for p in ps_c]
-            dvs = [jax.lax.dot_general(ps_c[hh], dos[hh],
-                                       (((0,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-                   for hh in range(H)]
-            dps = [jax.lax.dot_general(
-                       dos[hh], qkv[:, 2 * D + hh * hd:2 * D + (hh + 1) * hd],
-                       (((1,), (1,)), ((), ())),
-                       preferred_element_type=jnp.float32)
-                   for hh in range(H)]
-            dss = []
-            for hh in range(H):
-                p, dp = ps_f[hh], dps[hh]
-                delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-                dss.append((p * (dp - delta)).astype(dtype))
-            dqs = [jnp.dot(dss[hh], qkv[:, D + hh * hd:D + (hh + 1) * hd],
-                           preferred_element_type=jnp.float32) * scale
-                   for hh in range(H)]
-            dks = [jax.lax.dot_general(dss[hh], qkv[:, hh * hd:(hh + 1) * hd],
-                                       (((0,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-                   * scale for hh in range(H)]
-            dqkv = jnp.concatenate(
-                [jnp.concatenate(dqs, axis=1), jnp.concatenate(dks, axis=1),
-                 jnp.concatenate(dvs, axis=1)], axis=1)
-
-            dqkv_c = dqkv.astype(dtype)
-            dwqkv = jax.lax.dot_general(h, dqkv_c, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-            dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
-            dh = jax.lax.dot_general(dqkv_c, wqkv, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-
-            dg = dh * lns
-            m1 = jnp.mean(dg, axis=-1, keepdims=True)
-            m2 = jnp.mean(dg * xhat, axis=-1, keepdims=True)
-            dx = inv * (dg - m1 - xhat * m2)
-            dx_ref[0, item] = dx.astype(dx_ref.dtype)
-            dlns_acc[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)
-            dlnb_acc[...] += jnp.sum(dh, axis=0, keepdims=True)
-            dwqkv_acc[...] += dwqkv
-            dbqkv_acc[...] += dbqkv
-            dwproj_acc[...] += dwproj
-            dbproj_acc[...] += dbproj
+          for i in group:
+              _, xhat, inv = lnouts[i]
+              dh = dhs[i]
+              dg = dh * lns
+              m1 = jnp.mean(dg, axis=-1, keepdims=True)
+              m2 = jnp.mean(dg * xhat, axis=-1, keepdims=True)
+              dx = inv * (dg - m1 - xhat * m2)
+              dx_ref[0, i] = dx.astype(dx_ref.dtype)
+              dlns_acc[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)
+              dlnb_acc[...] += jnp.sum(dh, axis=0, keepdims=True)
+              dwqkv_acc[...] += dwqkvs[i]
+              dbqkv_acc[...] += jnp.sum(dqkvs[i], axis=0, keepdims=True)
+              dwproj_acc[...] += dwprojs[i]
+              dbproj_acc[...] += jnp.sum(das[i], axis=0, keepdims=True)
 
         @pl.when(b == n_b - 1)
         def _spill():
