@@ -104,26 +104,34 @@ def _make_fwd_save_kernel(H: int, IB: int):
     hd=64 — at the price of their HBM round-trip."""
     def kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                bproj_ref, a_ref, p_ref, cat_ref):
-        for i in range(IB):
-            x = x_ref[0, i]
-            N, D = x.shape
-            hd = D // H
-            dtype = x.dtype
-            hnorm, _, _ = _ln_fwd(x, lns_ref[0, 0], lnb_ref[0, 0])
-            h = hnorm.astype(dtype)
-            qkv = jnp.dot(h, wqkv_ref[0].astype(dtype),
-                          preferred_element_type=jnp.float32) \
-                + bqkv_ref[0, 0].astype(jnp.float32)
-            qkv = qkv.astype(dtype)
-            outs, ps = _heads_fwd(qkv, D, H, hd, hd ** -0.5, dtype)
-            for hh in range(H):
-                p_ref[0, i, hh] = ps[hh].astype(p_ref.dtype)
-            cat = jnp.concatenate(outs, axis=1).astype(dtype)
-            cat_ref[0, i] = cat
-            a = jnp.dot(cat, wproj_ref[0].astype(dtype),
-                        preferred_element_type=jnp.float32) \
-                + bproj_ref[0, 0].astype(jnp.float32)
-            a_ref[0, i] = a.astype(a_ref.dtype)
+        N, D = x_ref.shape[2], x_ref.shape[3]
+        hd = D // H
+        dtype = x_ref.dtype
+        wqkv = wqkv_ref[0].astype(dtype)
+        wproj = wproj_ref[0].astype(dtype)
+        # phase across item groups (group size bounded by the live
+        # intermediates' VMEM footprint, which scales with N)
+        G = 2 if N >= 128 else 4
+        for g0 in range(0, IB, G):
+            group = range(g0, min(g0 + G, IB))
+            hs = {i: _ln_fwd(x_ref[0, i], lns_ref[0, 0],
+                             lnb_ref[0, 0])[0].astype(dtype) for i in group}
+            qkvs = {i: (jnp.dot(hs[i], wqkv,
+                                preferred_element_type=jnp.float32)
+                        + bqkv_ref[0, 0].astype(jnp.float32)).astype(dtype)
+                    for i in group}
+            head_outs = {i: _heads_fwd(qkvs[i], D, H, hd, hd ** -0.5, dtype)
+                         for i in group}
+            for i in group:
+                outs, ps = head_outs[i]
+                for hh in range(H):
+                    p_ref[0, i, hh] = ps[hh].astype(p_ref.dtype)
+                cat = jnp.concatenate(outs, axis=1).astype(dtype)
+                cat_ref[0, i] = cat
+                a = jnp.dot(cat, wproj,
+                            preferred_element_type=jnp.float32) \
+                    + bproj_ref[0, 0].astype(jnp.float32)
+                a_ref[0, i] = a.astype(a_ref.dtype)
 
     return kernel
 
@@ -163,8 +171,9 @@ def _make_bwd_save_kernel(H: int, IB: int):
         hd = D // H
         scale = hd ** -0.5
 
-        for g0 in range(0, IB, 2):
-          group = range(g0, min(g0 + 2, IB))
+        G = 2 if N >= 128 else 4
+        for g0 in range(0, IB, G):
+          group = range(g0, min(g0 + G, IB))
           lnouts = {i: _ln_fwd(x_ref[0, i], lns_ref[0, 0], lnb_ref[0, 0])
                     for i in group}
           hs = {i: lnouts[i][0].astype(dtype) for i in group}
