@@ -554,54 +554,60 @@ def _make_ln_item_bwd_kernel(IB: int):
             dw2_acc[...] = jnp.zeros_like(dw2_acc)
             db2_acc[...] = jnp.zeros_like(db2_acc)
 
-        # phase-separated across items (see _make_ln_item_fwd_kernel)
+        # phase-separated across item groups of 2 (activation-sized
+        # intermediates only; the weight-gradient dots accumulate inline
+        # so at most ONE [D,Hd]-sized temporary is live — IB-wide phasing
+        # of dw temporaries blew the 16MB VMEM stack at small-N shapes
+        # where IB grows large)
         dt = x_ref.dtype
         lns = lns_ref[0, 0].astype(jnp.float32)
         w1 = w1_ref[0].astype(dt)
         w2 = w2_ref[0].astype(dt)
-        lnouts = [_ln_rows(x_ref[0, i], lns_ref[0, 0], lnb_ref[0, 0])
-                  for i in range(IB)]
-        hcs = [o[0].astype(dt) for o in lnouts]
-        dos = [do_ref[0, i].astype(dt) for i in range(IB)]
-        pres = [jnp.dot(hcs[i], w1, preferred_element_type=jnp.float32)
-                + b1_ref[0].astype(jnp.float32) for i in range(IB)]
-        dhs = [jax.lax.dot_general(dos[i], w2, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-               for i in range(IB)]
-        hs, dpres = [], []
-        for i in range(IB):
-            pre = pres[i]
-            hs.append(_gelu_exact(pre))
-            cdf = 0.5 * (1.0 + _erf(pre * 0.7071067811865475))
-            pdf = jnp.exp(-0.5 * pre * pre) * 0.3989422804014327
-            dpres.append(dhs[i] * (cdf + pre * pdf))
-        dpre_cs = [d.astype(dt) for d in dpres]
-        dhnorms = [jax.lax.dot_general(dpre_cs[i], w1,
-                                       (((1,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-                   for i in range(IB)]
-        dw1s = [jax.lax.dot_general(hcs[i], dpre_cs[i],
-                                    (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                for i in range(IB)]
-        dw2s = [jax.lax.dot_general(hs[i].astype(dt), dos[i],
-                                    (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                for i in range(IB)]
-        for i in range(IB):
-            _, xhat, inv = lnouts[i]
-            dhnorm = dhnorms[i]
-            dg = dhnorm * lns
-            m1 = jnp.mean(dg, axis=-1, keepdims=True)
-            m2 = jnp.mean(dg * xhat, axis=-1, keepdims=True)
-            dx_ref[0, i] = (inv * (dg - m1 - xhat * m2)).astype(dx_ref.dtype)
-            dlns_acc[...] += jnp.sum(dhnorm * xhat, axis=0, keepdims=True)
-            dlnb_acc[...] += jnp.sum(dhnorm, axis=0, keepdims=True)
-            dw1_acc[...] += dw1s[i]
-            db1_acc[...] += jnp.sum(dpres[i], axis=0, keepdims=True)
-            dw2_acc[...] += dw2s[i]
-            db2_acc[...] += jnp.sum(dos[i].astype(jnp.float32), axis=0,
-                                    keepdims=True)
+        for g0 in range(0, IB, 2):
+            group = range(g0, min(g0 + 2, IB))
+            lnouts = {i: _ln_rows(x_ref[0, i], lns_ref[0, 0], lnb_ref[0, 0])
+                      for i in group}
+            hcs = {i: lnouts[i][0].astype(dt) for i in group}
+            dos = {i: do_ref[0, i].astype(dt) for i in group}
+            pres = {i: jnp.dot(hcs[i], w1,
+                               preferred_element_type=jnp.float32)
+                    + b1_ref[0].astype(jnp.float32) for i in group}
+            dhs = {i: jax.lax.dot_general(dos[i], w2,
+                                          (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+                   for i in group}
+            hs, dpres = {}, {}
+            for i in group:
+                pre = pres[i]
+                hs[i] = _gelu_exact(pre)
+                cdf = 0.5 * (1.0 + _erf(pre * 0.7071067811865475))
+                pdf = jnp.exp(-0.5 * pre * pre) * 0.3989422804014327
+                dpres[i] = dhs[i] * (cdf + pre * pdf)
+            dpre_cs = {i: dpres[i].astype(dt) for i in group}
+            dhnorms = {i: jax.lax.dot_general(
+                           dpre_cs[i], w1, (((1,), (1,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+                       for i in group}
+            for i in group:
+                dw1_acc[...] += jax.lax.dot_general(
+                    hcs[i], dpre_cs[i], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dw2_acc[...] += jax.lax.dot_general(
+                    hs[i].astype(dt), dos[i], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                _, xhat, inv = lnouts[i]
+                dhnorm = dhnorms[i]
+                dg = dhnorm * lns
+                m1 = jnp.mean(dg, axis=-1, keepdims=True)
+                m2 = jnp.mean(dg * xhat, axis=-1, keepdims=True)
+                dx_ref[0, i] = (inv * (dg - m1 - xhat * m2)
+                                ).astype(dx_ref.dtype)
+                dlns_acc[...] += jnp.sum(dhnorm * xhat, axis=0,
+                                         keepdims=True)
+                dlnb_acc[...] += jnp.sum(dhnorm, axis=0, keepdims=True)
+                db1_acc[...] += jnp.sum(dpres[i], axis=0, keepdims=True)
+                db2_acc[...] += jnp.sum(dos[i].astype(jnp.float32), axis=0,
+                                        keepdims=True)
 
         @pl.when(b == n_b - 1)
         def _spill():
