@@ -227,14 +227,16 @@ def _make_bwd_save_kernel(H: int, IB: int):
                jnp.concatenate(dks[i], axis=1),
                jnp.concatenate(dvs[i], axis=1)], axis=1) for i in group}
           dqkv_cs = {i: dqkvs[i].astype(dtype) for i in group}
-          dwqkvs = {i: jax.lax.dot_general(
-                        hs[i], dqkv_cs[i], (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32) for i in group}
           dhs = {i: jax.lax.dot_general(
                       dqkv_cs[i], wqkv, (((1,), (1,)), ((), ())),
                       preferred_element_type=jnp.float32) for i in group}
 
+          # weight-gradient dots accumulate inline (one [D,3D]-sized
+          # temporary live at a time — see the MLP kernel's liveness note)
           for i in group:
+              dwqkv_acc[...] += jax.lax.dot_general(
+                  hs[i], dqkv_cs[i], (((0,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32)
               _, xhat, inv = lnouts[i]
               dh = dhs[i]
               dg = dh * lns
@@ -244,7 +246,6 @@ def _make_bwd_save_kernel(H: int, IB: int):
               dx_ref[0, i] = dx.astype(dx_ref.dtype)
               dlns_acc[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)
               dlnb_acc[...] += jnp.sum(dh, axis=0, keepdims=True)
-              dwqkv_acc[...] += dwqkvs[i]
               dbqkv_acc[...] += jnp.sum(dqkvs[i], axis=0, keepdims=True)
               dwproj_acc[...] += dwprojs[i]
               dbproj_acc[...] += jnp.sum(das[i], axis=0, keepdims=True)
