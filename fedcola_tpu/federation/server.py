@@ -124,14 +124,26 @@ class FedAvgServer:
 
     # ---------------------------------------------------------------- util --
 
+    def _train_dataset(self, ds: str):
+        """The one shared TaskDataset behind a dataset's client shards.
+        All of a dataset's clients view the same object (loaders.py builds
+        one ``train`` per dataset); the resident plane stages *that* object,
+        so the invariant is asserted rather than assumed."""
+        shards = [self.data.client_shards[i] for i in range(self.data.K)
+                  if self.client_dataset_of[i] == ds]
+        first = shards[0].dataset
+        assert all(s.dataset is first for s in shards), (
+            f"clients of dataset {ds!r} hold distinct TaskDataset objects; "
+            "the resident data plane requires the shared-dataset layout "
+            "loaders.load_federated_data builds")
+        return first
+
     def _group_spec(self, ds: str) -> GroupSpec:
         modality = DATASET_2_MODALITY[ds]
         task = DATASET_2_TASK[ds]
         criterion = TASK_2_CRITERION["img+txt"] if modality == "img+txt" \
             else self.cfg.criterion
-        train_ds = self.data.client_shards[
-            [i for i in range(self.data.K)
-             if self.client_dataset_of[i] == ds][0]].dataset
+        train_ds = self._train_dataset(ds)
         native = None
         if train_ds.images is not None:
             native = train_ds.images.shape[1]
@@ -166,74 +178,65 @@ class FedAvgServer:
         """Stacked client axes must divide the mesh's client axis."""
         return self.mesh_plan.pad_clients(n)
 
-    def _resident_data(self, ds: str, spec) -> Optional[Dict]:
-        """Stage a dataset's train arrays into HBM once (replicated over the
+    def _stage_resident(self, cache_key: str, dset, spec) -> Optional[Dict]:
+        """Stage one dataset's arrays into HBM once (replicated over the
         mesh) for the on-device-gather data plane; returns None when the
-        dataset doesn't qualify (host-side augmentation active — handled by
-        the caller, lazily-decoded images, or over the byte budget).  The
-        host link is the slowest wire in the system (PCIe at best, a
-        network tunnel at worst), so shipping the dataset once and
+        dataset doesn't qualify (truly lazy-decoded images or over the byte
+        budget).  The host link is the slowest wire in the system (PCIe at
+        best, a network tunnel at worst), so shipping the dataset once and
         gathering per-step batches on device replaces gigabytes of
-        per-round pixel traffic with kilobyte index maps."""
-        if ds in self._resident_cache:
-            return self._resident_cache[ds]
-        train = self.data.client_shards[
-            [i for i in range(self.data.K)
-             if self.client_dataset_of[i] == ds][0]].dataset
+        per-round pixel traffic with kilobyte index maps.
+
+        Path-backed datasets (COCO/Flickr — the flagship scripts' data,
+        reference hot path fedavgclient.py:44-53 per-sample DataLoader
+        decode) materialize into a deduped unique-image store + row map
+        (datasets.py:103-129); both are staged and the per-step gather adds
+        one indirection ``store[row[idx]]`` — 5x smaller than per-caption
+        rows, since retrieval sets repeat each image for its 5 captions."""
+        if cache_key in self._resident_cache:
+            return self._resident_cache[cache_key]
         arrays = {}
         if "img" in spec.modality:
-            if train.images is None:
-                self._resident_cache[ds] = None   # lazy-decode datasets
+            if dset.images is not None:
+                arrays["img"] = dset.images
+            elif dset._image_store is not None:
+                arrays["img_store"] = dset._image_store
+                arrays["img_row"] = np.asarray(dset._image_row, np.int32)
+            else:
+                self._resident_cache[cache_key] = None  # lazy decode
                 return None
-            arrays["img"] = train.images
         if "txt" in spec.modality:
-            arrays["txt"] = np.asarray(train.texts, np.int32)
+            arrays["txt"] = np.asarray(dset.texts, np.int32)
         if spec.modality != "img+txt":
-            arrays["tgt"] = np.asarray(train.targets, np.int32)
+            arrays["tgt"] = np.asarray(dset.targets, np.int32)
         budget = int(os.environ.get("FEDCOLA_RESIDENT_BUDGET",
                                     6 * 1024 ** 3))
         total = sum(a.nbytes for a in arrays.values())
         if total > budget:
             logger.info("[DATA] %s stays host-fed (%.2f GB > %.2f GB "
-                        "resident budget)", ds, total / 1e9, budget / 1e9)
-            self._resident_cache[ds] = None
+                        "resident budget)", cache_key, total / 1e9,
+                        budget / 1e9)
+            self._resident_cache[cache_key] = None
             return None
         dev = {k: self.mesh_plan.replicate(jnp.asarray(v))
                for k, v in arrays.items()}
         jax.block_until_ready(dev)
         logger.info("[DATA] %s staged HBM-resident (%.1f MB); per-round "
-                    "host traffic is now index maps only", ds, total / 1e6)
-        self._resident_cache[ds] = dev
+                    "host traffic is now index maps only", cache_key,
+                    total / 1e6)
+        self._resident_cache[cache_key] = dev
         return dev
+
+    def _resident_data(self, ds: str, spec) -> Optional[Dict]:
+        """HBM-staged train arrays for a dataset's client group."""
+        return self._stage_resident(ds, self._train_dataset(ds), spec)
 
     def _resident_eval_data(self, ds: str, spec) -> Optional[Dict]:
         """Eval twin of :meth:`_resident_data`: stage the server test set
         into HBM once so every central-eval / retrieval batch is an
         on-device index gather."""
-        key = f"eval:{ds}"
-        if key in self._resident_cache:
-            return self._resident_cache[key]
-        test = self.data.server_eval[ds]
-        arrays = {}
-        if "img" in spec.modality:
-            if test.images is None:
-                self._resident_cache[key] = None
-                return None
-            arrays["img"] = test.images
-        if "txt" in spec.modality:
-            arrays["txt"] = np.asarray(test.texts, np.int32)
-        if spec.modality != "img+txt":
-            arrays["tgt"] = np.asarray(test.targets, np.int32)
-        budget = int(os.environ.get("FEDCOLA_RESIDENT_BUDGET",
-                                    6 * 1024 ** 3))
-        if sum(a.nbytes for a in arrays.values()) > budget:
-            self._resident_cache[key] = None
-            return None
-        dev = {k: self.mesh_plan.replicate(jnp.asarray(v))
-               for k, v in arrays.items()}
-        jax.block_until_ready(dev)
-        self._resident_cache[key] = dev
-        return dev
+        return self._stage_resident(f"eval:{ds}",
+                                    self.data.server_eval[ds], spec)
 
     def _shard_clients(self, tree):
         return self.mesh_plan.shard_client_tree(tree)

@@ -74,6 +74,18 @@ def preprocess_images(x: jnp.ndarray, spec: GroupSpec,
     return x.astype(dtype)
 
 
+def _take_images(data, idx):
+    """Row gather from HBM-resident image storage.  Array-backed datasets
+    stage ``img [N, H, W, C]`` directly; path-backed retrieval sets
+    (COCO/Flickr) stage a deduped unique-image ``img_store`` plus an
+    ``img_row`` caption->image map (datasets.py:103-129) and the gather
+    adds one int indirection — both stay pure device ops."""
+    if "img_store" in data:
+        return jnp.take(data["img_store"],
+                        jnp.take(data["img_row"], idx, axis=0), axis=0)
+    return jnp.take(data["img"], idx, axis=0)
+
+
 def _cls_criterion(name: str):
     """Criterion lookup by torch.nn name (reference fedavgclient.py:23,
     incl. the monkey-patched losses src/utils.py:286-315)."""
@@ -178,13 +190,13 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
         idx = step["idx"]
         batch = {"valid": step["valid"]}
         if spec.modality == "img":
-            batch["x"] = jnp.take(data["img"], idx, axis=0)
+            batch["x"] = _take_images(data, idx)
             batch["y"] = jnp.take(data["tgt"], idx, axis=0)
         elif spec.modality == "txt":
             batch["x"] = jnp.take(data["txt"], idx, axis=0)
             batch["y"] = jnp.take(data["tgt"], idx, axis=0)
         else:  # img+txt: token ids ride the target slot
-            batch["x"] = jnp.take(data["img"], idx, axis=0)
+            batch["x"] = _take_images(data, idx)
             batch["y"] = jnp.take(data["txt"], idx, axis=0)
         return batch
 
@@ -242,13 +254,13 @@ def build_eval_forward(cfg: MATConfig, spec: GroupSpec,
         if resident:
             idx = batch["idx"]
             if spec.modality == "img":
-                batch = {"x": jnp.take(data["img"], idx, axis=0),
+                batch = {"x": _take_images(data, idx),
                          "y": jnp.take(data["tgt"], idx, axis=0)}
             elif spec.modality == "txt":
                 batch = {"x": jnp.take(data["txt"], idx, axis=0),
                          "y": jnp.take(data["tgt"], idx, axis=0)}
             else:
-                batch = {"x": jnp.take(data["img"], idx, axis=0),
+                batch = {"x": _take_images(data, idx),
                          "y": jnp.take(data["txt"], idx, axis=0)}
         ins = [None] * len(cfg.modalities)
         if spec.modality == "img":

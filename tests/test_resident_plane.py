@@ -1,0 +1,110 @@
+"""HBM-resident data plane for path-backed (COCO/Flickr-shaped) datasets.
+
+The flagship scripts' retrieval data is path-backed: loaders materialize it
+into a deduped unique-image store + caption->image row map
+(datasets.py:103-129).  The resident plane must stage that store and
+gather ``store[row[idx]]`` on device, producing EXACTLY the training and
+eval results of the host-fed pixel path (reference hot path being
+replaced: per-sample DataLoader decode, fedavgclient.py:44-53).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from fedcola_tpu.config import ExperimentConfig, check_args
+from fedcola_tpu.data.datasets import TaskDataset
+from fedcola_tpu.data.loaders import FederatedData
+from fedcola_tpu.data.pipeline import ClientShard
+from fedcola_tpu.federation.aggregate import ClientMeta
+from fedcola_tpu.federation.server import FedAvgServer
+
+
+def _write_pathbacked_rtv(tmp_path, name, n_img, size=16, seed=0):
+    """COCO-shaped fixture on disk: n_img PNGs, 5 captions each."""
+    from PIL import Image
+    rng = np.random.RandomState(seed)
+    paths = []
+    for i in range(n_img):
+        arr = rng.randint(0, 256, (size, size, 3)).astype(np.uint8)
+        p = tmp_path / f"{name}_{i}.png"
+        Image.fromarray(arr).save(str(p))
+        paths.append(str(p))
+    n = n_img * 5
+    texts = rng.randint(5, 120, (n, 8)).astype(np.int32)
+    texts[:, 0] = 2
+    return TaskDataset(
+        name="Coco", task="rtv", modality="img+txt", num_classes=None,
+        n=n, texts=texts, targets=texts,
+        image_paths=[paths[i // 5] for i in range(n)], image_size=size,
+        image_ids=np.arange(n) // 5, ann_ids=np.arange(n))
+
+
+def _cfg():
+    return check_args(ExperimentConfig(
+        exp_name="resident_test", seed=11, multi_task=True,
+        datasets=["Coco", "Coco"], modalities=["img+txt", "img+txt"],
+        Ks=[2], Cs=[1.0], K=2, R=1, E=1, B=8, eval_batch_size=16,
+        optimizer="AdamW", lr=1e-3, criterion="CrossEntropyLoss",
+        eval_type="global", model_name="mome_test_patch16_32", seq_len=8,
+        split_type="iid", use_pallas=False, compute_dtype="float32",
+        equal_sampled=True, train_chunk_steps=4, resize=32, vocab_size=120,
+        mesh_shape=[1]))
+
+
+def _data(tmp_path):
+    train = _write_pathbacked_rtv(tmp_path, "tr", n_img=6, seed=0)
+    test = _write_pathbacked_rtv(tmp_path, "te", n_img=5, seed=1)
+    assert train.materialize_images() and test.materialize_images()
+    out = FederatedData()
+    out.server_eval["Coco"] = test
+    for k, idx in enumerate((np.arange(0, 15), np.arange(15, 30))):
+        out.client_shards.append(ClientShard(dataset=train, indices=idx))
+        out.client_meta[k] = ClientMeta(id=k, dataset="Coco",
+                                        modality="img+txt", task="rtv",
+                                        n_train=len(idx))
+    return out
+
+
+def _run_round(tmp_path, budget):
+    old = os.environ.get("FEDCOLA_RESIDENT_BUDGET")
+    os.environ["FEDCOLA_RESIDENT_BUDGET"] = str(budget)
+    try:
+        server = FedAvgServer(_cfg(), _data(tmp_path))
+        server.round = 1
+        server.update()
+        server.evaluate([])
+        return server
+    finally:
+        if old is None:
+            del os.environ["FEDCOLA_RESIDENT_BUDGET"]
+        else:
+            os.environ["FEDCOLA_RESIDENT_BUDGET"] = old
+
+
+def test_pathbacked_goes_resident_and_matches_hostfed(tmp_path):
+    resident = _run_round(tmp_path, 6 * 1024 ** 3)
+    hostfed = _run_round(tmp_path, 0)          # budget 0 -> host pixels
+
+    # the flagship config actually engaged the resident plane, with the
+    # deduped store + row indirection (not per-caption rows)
+    staged = resident._resident_cache["Coco"]
+    assert staged is not None and "img_store" in staged
+    assert staged["img_store"].shape[0] == 6          # unique images
+    assert staged["img_row"].shape[0] == 30           # caption rows
+    assert resident._resident_cache["eval:Coco"] is not None
+    assert hostfed._resident_cache["Coco"] is None    # fallback ran host-fed
+
+    # training is numerically identical to the host-fed pixel path
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(resident.global_params["Coco"]),
+                    jax.tree_util.tree_leaves(hostfed.global_params["Coco"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    # and so is retrieval eval
+    ev_r = resident.results[1]["server_evaluated_Coco"]
+    ev_h = hostfed.results[1]["server_evaluated_Coco"]
+    assert ev_r.keys() == ev_h.keys()
+    for k in ev_r:
+        assert ev_r[k] == pytest.approx(ev_h[k], abs=1e-6), k
