@@ -61,6 +61,14 @@ class AugmentSpec:
                    (self.crop, self.randrot, self.randhf, self.randvf,
                     self.randjit))
 
+    @property
+    def device_supported(self) -> bool:
+        """Crop and flips run on device inside the HBM-resident gather
+        (client_update.device_augment), so those flags keep the resident
+        data plane; rotation and color jitter are host-side transforms —
+        passing them trades the resident plane for host-fed pixels."""
+        return self.randrot is None and self.randjit is None
+
 
 def _rotate_nearest(img: np.ndarray, angle_deg: float) -> np.ndarray:
     """Rotate one HWC image about its center, nearest interpolation,

@@ -88,6 +88,7 @@ class FedAvgServer:
                            "path)")
             cfg.use_pallas = False
         self._resident_cache: Dict[str, Optional[Dict]] = {}
+        self._aug_host_logged: set = set()
         self.mesh = self.mesh_plan.mesh
         if self.mesh is not None:
             logger.info("[MESH] %s over %d devices",
@@ -261,12 +262,30 @@ class FedAvgServer:
                           randhf=cfg.randhf, randvf=cfg.randvf,
                           randjit=cfg.randjit)
         aug = aug if ("img" in spec.modality and aug.active) else None
+        data_dev = None
+        if aug is None:
+            data_dev = self._resident_data(ds, spec)
+        elif aug.device_supported:
+            # crop/flips run on device inside the resident gather
+            # (client_update.device_augment), so these flags keep the
+            # HBM-resident plane (reference transforms data.py:86-134)
+            data_dev = self._resident_data(ds, spec)
+            if data_dev is not None:
+                import dataclasses
+                spec = dataclasses.replace(
+                    spec, aug_crop=aug.crop, aug_randhf=aug.randhf,
+                    aug_randvf=aug.randvf)
+                aug = None
+        elif ds not in self._aug_host_logged:
+            self._aug_host_logged.add(ds)
+            logger.info("[DATA] %s: --randrot/--randjit are host-side "
+                        "transforms; group runs host-fed (crop/flips alone "
+                        "would keep the HBM-resident plane)", ds)
         feeder = GroupFeeder(shards, cfg.B, spec.modality,
                              chunk_steps=cfg.train_chunk_steps,
                              shuffle=not cfg.no_shuffle,
                              rng=self.shuffle_rng,
                              debug_two_batches=cfg.debug, aug=aug)
-        data_dev = None if aug is not None else self._resident_data(ds, spec)
         update_fn = build_group_update(mcfg, spec, self.opt_spec, frozen,
                                        resident=data_dev is not None)
         gp = self.global_params[ds]

@@ -54,6 +54,16 @@ class GroupSpec:
     imnorm: bool = False                 # (x/255 - .5)/.5 (data.py:107-109)
     mu: float = 0.0                      # fedprox proximal coefficient
     algorithm: str = "fedavg"
+    # device-side train augmentation inside the resident gather (reference
+    # transforms data.py:86-134; rotation/jitter stay host-side)
+    aug_crop: Optional[int] = None       # RandomCrop(c, padding=4)
+    aug_randhf: Optional[float] = None   # RandomHorizontalFlip(p)
+    aug_randvf: Optional[float] = None   # RandomVerticalFlip(p)
+
+    @property
+    def device_aug(self) -> bool:
+        return (self.aug_crop is not None or self.aug_randhf is not None
+                or self.aug_randvf is not None)
 
 
 def preprocess_images(x: jnp.ndarray, spec: GroupSpec,
@@ -72,6 +82,34 @@ def preprocess_images(x: jnp.ndarray, spec: GroupSpec,
         x = jax.image.resize(
             x, (B, spec.resize_to, spec.resize_to, x.shape[-1]), "bilinear")
     return x.astype(dtype)
+
+
+def device_augment(x: jnp.ndarray, key, crop: Optional[int],
+                   randhf: Optional[float],
+                   randvf: Optional[float]) -> jnp.ndarray:
+    """Per-sample train augmentation on device, matching the host
+    ``_augment`` semantics (pipeline.py:108-136; reference torchvision
+    chain data.py:86-134) for the resident data plane: RandomCrop(c,
+    padding=4) -> RandomHorizontalFlip(p) -> RandomVerticalFlip(p).
+    Runs on uint8 NHWC before normalisation/resize, so augmented runs keep
+    HBM residency instead of falling back to host pixel streaming."""
+    B = x.shape[0]
+    kc, kh, kv = jax.random.split(key, 3)
+    if crop is not None:
+        x = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+        H, W = x.shape[1], x.shape[2]
+        kcy, kcx = jax.random.split(kc)
+        ys = jax.random.randint(kcy, (B,), 0, H - crop + 1)
+        xs = jax.random.randint(kcx, (B,), 0, W - crop + 1)
+        x = jax.vmap(lambda im, y, xx: jax.lax.dynamic_slice(
+            im, (y, xx, 0), (crop, crop, im.shape[-1])))(x, ys, xs)
+    if randhf is not None:
+        flip = jax.random.uniform(kh, (B,)) < randhf
+        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+    if randvf is not None:
+        flip = jax.random.uniform(kv, (B,)) < randvf
+        x = jnp.where(flip[:, None, None, None], x[:, ::-1, :, :], x)
+    return x
 
 
 def _take_images(data, idx):
@@ -184,9 +222,10 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
 
         return walk(params, ())
 
-    def gather_batch(step, data):
+    def gather_batch(step, data, aug_rng=None):
         """Device-side row gather for the resident plane (step carries
-        ``idx [B]`` + ``valid [B]``)."""
+        ``idx [B]`` + ``valid [B]``); train augmentation (crop/flips)
+        applies right after the gather, per-sample, from ``aug_rng``."""
         idx = step["idx"]
         batch = {"valid": step["valid"]}
         if spec.modality == "img":
@@ -198,6 +237,9 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
         else:  # img+txt: token ids ride the target slot
             batch["x"] = _take_images(data, idx)
             batch["y"] = jnp.take(data["txt"], idx, axis=0)
+        if aug_rng is not None:
+            batch["x"] = device_augment(batch["x"], aug_rng, spec.aug_crop,
+                                        spec.aug_randhf, spec.aug_randvf)
         return batch
 
     def chunk_fn(params, opt_state, chunk, rng, lr, global_params,
@@ -212,7 +254,12 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
             p, st = carry
             batch, sv, r = xs
             if resident:
-                batch = gather_batch(batch, data)
+                if spec.device_aug:
+                    # split keeps the no-aug resident stream unchanged
+                    aug_r, r = jax.random.split(r)
+                    batch = gather_batch(batch, data, aug_r)
+                else:
+                    batch = gather_batch(batch, data)
             grad_fn = jax.value_and_grad(
                 lambda pp: _local_loss(cfg, spec, pp, batch, r, global_params),
                 has_aux=True)

@@ -108,3 +108,69 @@ def test_pathbacked_goes_resident_and_matches_hostfed(tmp_path):
     assert ev_r.keys() == ev_h.keys()
     for k in ev_r:
         assert ev_r[k] == pytest.approx(ev_h[k], abs=1e-6), k
+
+
+# ------------------------------------------------- device augmentation -----
+
+def test_device_augment_matches_host_semantics():
+    """device_augment (resident-plane crop/flips) reproduces the host
+    ``_augment`` semantics (pipeline.py:108-136): p=1 flips are exact
+    mirrors, p=0 is identity, and every random crop is a c x c window of
+    the 4-padded input."""
+    import jax
+    import jax.numpy as jnp
+    from fedcola_tpu.parallel.client_update import device_augment
+
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 256, (6, 16, 16, 3)).astype(np.uint8)
+    key = jax.random.PRNGKey(0)
+
+    out = device_augment(jnp.asarray(x), key, None, 1.0, None)
+    np.testing.assert_array_equal(np.asarray(out), x[:, :, ::-1, :])
+    out = device_augment(jnp.asarray(x), key, None, None, 1.0)
+    np.testing.assert_array_equal(np.asarray(out), x[:, ::-1, :, :])
+    out = device_augment(jnp.asarray(x), key, None, 0.0, 0.0)
+    np.testing.assert_array_equal(np.asarray(out), x)
+
+    c = 16
+    out = np.asarray(device_augment(jnp.asarray(x), key, c, None, None))
+    assert out.shape == (6, c, c, 3)
+    padded = np.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+    for i in range(6):
+        windows = [padded[i, y:y + c, xx:xx + c]
+                   for y in range(9) for xx in range(9)]
+        assert any(np.array_equal(out[i], w) for w in windows), i
+    # crops actually vary across samples (per-sample randomness)
+    assert not all(np.array_equal(out[i], out[0]) for i in range(6))
+
+
+def test_flip_augmented_run_keeps_residency(tmp_path):
+    """--randhf/--randvf/--crop no longer evict the group from the
+    resident plane (round-2 VERDICT missing #2): the run stays
+    index-fed and trains with device-side augmentation."""
+    import dataclasses
+    os.environ["FEDCOLA_RESIDENT_BUDGET"] = str(6 * 1024 ** 3)
+    try:
+        cfg = dataclasses.replace(_cfg(), randhf=0.5, randvf=0.5)
+        server = FedAvgServer(cfg, _data(tmp_path))
+        server.round = 1
+        server.update()
+        assert server._resident_cache["Coco"] is not None
+        loss = server.results[1]["clients_updated_summary"]["loss"]["avg"]
+        assert np.isfinite(loss)
+    finally:
+        del os.environ["FEDCOLA_RESIDENT_BUDGET"]
+
+
+def test_rotation_falls_back_to_host(tmp_path):
+    """Rotation/jitter stay host-side: the group runs host-fed (with the
+    host _augment chain) and still trains."""
+    import dataclasses
+    cfg = dataclasses.replace(_cfg(), randrot=15)
+    server = FedAvgServer(cfg, _data(tmp_path))
+    server.round = 1
+    server.update()
+    # resident staging was never attempted for the train set
+    assert "Coco" not in server._resident_cache
+    loss = server.results[1]["clients_updated_summary"]["loss"]["avg"]
+    assert np.isfinite(loss)
