@@ -106,10 +106,13 @@ def headline(on_tpu):
     if not on_tpu:  # CPU smoke: shrink everything
         n_clients, S, B, min_s = 2, 2, 4, 0.0
 
+    # drop_path_rate=0.1 is the canonical training configuration: the
+    # reference factories pass drop_path_rate=args.dropout (mome.py:944)
+    # whose default is 0.1 (main.py:223) and the scripts never override it
     base = dict(modalities=("img", "txt"), tasks=("rtv", "rtv"),
                 num_classes=(None, None), img_size=224, patch_size=16,
                 embed_dim=384, depth=12, num_heads=6,
-                vocab_size=30522, max_text_len=40)
+                vocab_size=30522, max_text_len=40, drop_path_rate=0.1)
     if not on_tpu:
         base.update(img_size=32, embed_dim=16, depth=2, num_heads=2,
                     vocab_size=64, max_text_len=8)
@@ -156,15 +159,27 @@ def headline(on_tpu):
                                     lr, params_ref, min_s / 2)
     ref = samples_per_chunk / t_ref_total
 
-    # ---- MFU (useful model FLOPs; v5e bf16 peak = 197 TFLOP/s) ----
+    # ---- MFU (useful model FLOPs / generation-specific bf16 peak) ----
     P = base["patch_size"]
     n_img_tok = (base["img_size"] // P) ** 2 + 1
     fwd = mat_fwd_flops(base["depth"], base["embed_dim"], 4.0,
                         n_img_tok, L, P * P * 3)
     step_flops = 3 * fwd                      # fwd + bwd(2x)
-    peak = 197e12 if on_tpu else float("nan")
+    peak, kind = (tpu_bf16_peak() if on_tpu else (float("nan"), "cpu"))
     mfu = ours * step_flops / peak
-    return ours, ref, mfu, step_flops
+    return ours, ref, mfu, step_flops, kind
+
+
+def tpu_bf16_peak():
+    """Per-chip bf16 peak FLOP/s from the device generation (the MFU
+    denominator is meaningless if it assumes the wrong chip)."""
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in (("v6", 918e12), ("v5p", 459e12), ("v5", 197e12),
+                      ("v4", 275e12)):
+        if sub in kind:
+            return peak, kind
+    return 197e12, f"{kind} (unknown generation; assuming v5e peak)"
 
 
 def full_round(on_tpu):
@@ -222,9 +237,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     on_tpu = jax.default_backend() == "tpu"
 
-    ours, ref, mfu, step_flops = headline(on_tpu)
+    ours, ref, mfu, step_flops, kind = headline(on_tpu)
     print(f"[bench] headline ours={ours:.2f} baseline={ref:.2f} samples/s "
-          f"mfu={mfu:.3f} (backend={jax.default_backend()}, "
+          f"mfu={mfu:.3f} (backend={jax.default_backend()} [{kind}], "
           f"step_flops={step_flops/1e9:.1f} GF/sample)", file=sys.stderr)
 
     round_s, round_sps = float("nan"), float("nan")
@@ -238,12 +253,15 @@ def main():
 
     print(json.dumps({
         "metric": "mm client-update samples/sec/chip "
-                  "(ViT-small MAT, COCO shape B=96, batched+bf16+pallas "
-                  "vs reference-style sequential fp32)",
+                  "(ViT-small MAT, COCO shape B=96, drop_path 0.1, "
+                  "batched+bf16+pallas; baseline = JAX re-creation of the "
+                  "reference's sequential-fp32 execution, NOT PyTorch — "
+                  "torch cannot drive this TPU)",
         "value": round(ours, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(ours / ref, 3),
         "mfu": round(mfu, 4),
+        "device_kind": kind,
         "round_seconds": round(round_s, 2),
         "round_samples_per_sec": round(round_sps, 1),
     }))

@@ -397,6 +397,19 @@ def check_args(cfg: ExperimentConfig) -> ExperimentConfig:
     known_criteria = {"CrossEntropyLoss", "BCEWithLogitsLoss",
                       "PainlessBCEWithLogitsLoss", "Seq2SeqLoss",
                       "ContrastiveLoss", "MCSoftContrastiveLoss", "SegLoss"}
+    if cfg.use_model_tokenizer:
+        # the reference gates this flag on legacy text-classification
+        # models and asserts out otherwise (data.py:173-181:
+        # ``assert args.model_name in ['DistilBert','SqueezeBert',
+        # 'MobileBert']``) — every mome_* MAT model fails that assert, so
+        # the flag is unusable in the multimodal path upstream too; reject
+        # loudly instead of silently ignoring it
+        raise ValueError(
+            "--use_model_tokenizer is not supported for MAT models: the "
+            "reference restricts it to DistilBert/SqueezeBert/MobileBert "
+            "(src/loaders/data.py:173-181) and would assert out for "
+            f"{cfg.model_name!r}; use --use_bert_tokenizer with a "
+            "per-dataset vocab.txt instead")
     if cfg.criterion not in known_criteria:
         raise ValueError(f"Unsupported criterion {cfg.criterion!r}; "
                          f"supported: {sorted(known_criteria)} "
@@ -406,7 +419,11 @@ def check_args(cfg: ExperimentConfig) -> ExperimentConfig:
     # runs check_args AFTER data loading, when args.num_classes holds the
     # LAST dataset's class count — a binary final dataset flips the global
     # criterion to BCEWithLogitsLoss (heads still come from the NUM_CLASS
-    # table, fedavgserver.py:151-155; PainlessBCE absorbs the shapes)
+    # table, fedavgserver.py:151-155; PainlessBCE absorbs the shapes).
+    # INTENTIONAL divergence: the reference rewrites unconditionally, so a
+    # user-supplied non-CE criterion (e.g. Seq2SeqLoss) on a binary final
+    # dataset is silently discarded; we only rewrite the CE default and
+    # honor an explicit criterion choice
     if (cfg.datasets and NUM_CLASS.get(cfg.datasets[-1]) == 2
             and cfg.criterion == "CrossEntropyLoss"):
         cfg.criterion = "BCEWithLogitsLoss"

@@ -325,23 +325,48 @@ class FedAvgServer:
         cor = np.asarray(acc["c"], np.float64)[:n]
         cnt = np.asarray(acc["n"], np.float64)[:n]
         # numerics sanitizer (the reference runs under
-        # torch.autograd.set_detect_anomaly(True), main.py:307): the
-        # per-round readback is the natural guard point — a NaN/inf loss
-        # poisons aggregation for every client of the dataset, so fail
-        # loudly with the offending clients named.  --detect_anomaly
-        # additionally enables jax_debug_nans for op-level tracing.
+        # torch.autograd.set_detect_anomaly(True), main.py:307, which
+        # raises only on NaN in backward): a transient inf/NaN *loss* with
+        # still-finite params can recover, so by default it's a loud
+        # warning naming the offending clients; the hard failure is the
+        # post-aggregation global-params finiteness check in update() —
+        # --detect_anomaly upgrades this to an immediate error and enables
+        # jax_debug_nans for op-level tracing.
         bad = ~np.isfinite(loss_sums)
         if bad.any():
-            raise FloatingPointError(
-                f"non-finite training loss in round {self.round} for "
-                f"dataset {ds!r}, clients "
-                f"{[ids[j] for j in np.nonzero(bad)[0]]} "
-                f"(lr={self.curr_lr:.3g}; rerun with --detect_anomaly for "
-                f"op-level NaN tracing)")
+            msg = (f"non-finite training loss in round {self.round} for "
+                   f"dataset {ds!r}, clients "
+                   f"{[ids[j] for j in np.nonzero(bad)[0]]} "
+                   f"(lr={self.curr_lr:.3g}; rerun with --detect_anomaly "
+                   f"for op-level NaN tracing)")
+            if self.cfg.detect_anomaly:
+                raise FloatingPointError(msg)
+            logger.warning("%s — continuing; aggregation will abort if the "
+                           "global params go non-finite", msg)
         metrics = {cid: {"loss": float(loss_sums[j] / max(cnt[j], 1)),
                          "acc1": float(cor[j] / max(cnt[j], 1))}
                    for j, cid in enumerate(ids)}
         return upload, metrics
+
+    def _assert_global_finite(self):
+        """Hard numerics guard at the one point where corruption becomes
+        permanent: a non-finite aggregated global parameter poisons every
+        later round and checkpoint, so abort the run.  One fused device
+        reduction + a single scalar readback per dataset per round."""
+        for ds, params in self.global_params.items():
+            leaves = jax.tree_util.tree_leaves(params)
+            ok = jnp.all(jnp.stack(
+                [jnp.all(jnp.isfinite(l)) for l in leaves]))
+            if not bool(ok):
+                bad = [name for p, name
+                       in naming.param_names(self.model_cfgs[ds])
+                       if not bool(jnp.all(jnp.isfinite(
+                           naming.get_by_path(params, p))))]
+                raise FloatingPointError(
+                    f"aggregation produced non-finite global params in "
+                    f"round {self.round} for dataset {ds!r}: {bad[:8]} "
+                    f"(lr={self.curr_lr:.3g}; rerun with --detect_anomaly "
+                    f"for op-level NaN tracing)")
 
     # --------------------------------------------------------------- round ---
 
@@ -427,6 +452,7 @@ class FedAvgServer:
                 self.global_params = exchange_aux_weights(
                     self.global_params, self.model_cfgs,
                     {ds: DATASET_2_MODALITY[ds] for ds in self.global_params})
+        self._assert_global_finite()
 
         if self.round % cfg.lr_decay_step == 0:
             self.curr_lr *= cfg.lr_decay
@@ -484,6 +510,10 @@ class FedAvgServer:
                 params_dev = self.mesh_plan.replicate(params)
                 from fedcola_tpu.ops.losses import cross_entropy
                 n = test.n
+                # dispatch all eval batches before the first readback (jax
+                # dispatch is async; a per-batch np.asarray would stall
+                # the device pipeline at one program deep)
+                pending = []
                 for start in range(0, n, B):
                     idx = np.arange(start, min(start + B, n))
                     pad = B - len(idx)
@@ -497,10 +527,12 @@ class FedAvgServer:
                                        else test.texts[gidx]),
                                  "y": test.targets[gidx].astype(np.int32)}
                     batch = self.mesh_plan.shard_eval_batch(batch)
-                    logits = np.asarray(
-                        fwd(params_dev, batch, resident)
-                        if resident is not None
-                        else fwd(params_dev, batch))[:len(idx)]
+                    dev = (fwd(params_dev, batch, resident)
+                           if resident is not None
+                           else fwd(params_dev, batch))
+                    pending.append((dev, idx))
+                for dev, idx in pending:
+                    logits = np.asarray(dev)[:len(idx)]
                     y = test.targets[idx]
                     loss = float(cross_entropy(jnp.asarray(logits),
                                                jnp.asarray(y)))
@@ -578,39 +610,37 @@ class FedAvgServer:
             mm = MetricManager(metrics if spec.modality != "img+txt" else [])
             B = self.mesh_plan.pad_eval_batch(self.cfg.B)
             tidx = shard.test_indices
+            # dispatch-all-then-read: queue every holdout batch before the
+            # first device sync (same pipelining as central eval)
+            pending = []
             for s in range(0, len(tidx), B):
                 sel = tidx[s:s + B]
                 pad = B - len(sel)
                 gsel = np.concatenate([sel, np.repeat(sel[:1], pad)]) \
                     if pad else sel
                 d = shard.dataset
+                if resident is not None:
+                    batch = {"idx": gsel.astype(np.int32)}
+                elif spec.modality == "img+txt":
+                    batch = {"x": d.load_images(gsel), "y": d.texts[gsel]}
+                else:
+                    batch = {"x": (d.load_images(gsel)
+                                   if spec.modality == "img"
+                                   else d.texts[gsel]),
+                             "y": d.targets[gsel].astype(np.int32)}
+                batch = self.mesh_plan.shard_eval_batch(batch)
+                dev = (fwd(params_dev, batch, resident)
+                       if resident is not None else fwd(params_dev, batch))
+                pending.append((dev, sel))
+            for dev, sel in pending:
                 if spec.modality == "img+txt":
-                    if resident is not None:
-                        batch = {"idx": gsel.astype(np.int32)}
-                    else:
-                        batch = {"x": d.load_images(gsel),
-                                 "y": d.texts[gsel]}
-                    batch = self.mesh_plan.shard_eval_batch(batch)
-                    fi, ft = (fwd(params_dev, batch, resident)
-                              if resident is not None
-                              else fwd(params_dev, batch))
+                    fi, ft = dev
                     loss = float(clip_contrastive(fi[:len(sel)],
                                                   ft[:len(sel)]))
                     mm.track(loss, count=len(sel))
                 else:
-                    if resident is not None:
-                        batch = {"idx": gsel.astype(np.int32)}
-                    else:
-                        batch = {"x": (d.load_images(gsel)
-                                       if spec.modality == "img"
-                                       else d.texts[gsel]),
-                                 "y": d.targets[gsel].astype(np.int32)}
-                    batch = self.mesh_plan.shard_eval_batch(batch)
-                    logits = np.asarray(
-                        fwd(params_dev, batch, resident)
-                        if resident is not None
-                        else fwd(params_dev, batch))[:len(sel)]
-                    y = d.targets[sel]
+                    logits = np.asarray(dev)[:len(sel)]
+                    y = shard.dataset.targets[sel]
                     loss = float(cross_entropy(jnp.asarray(logits),
                                                jnp.asarray(y)))
                     mm.track(loss, logits, y)

@@ -91,7 +91,12 @@ class MATConfig:
     # kernel saves its softmax probs + head concat through its VJP so the
     # backward skips every score/softmax/AV recompute, and the fused MLP
     # recomputes from row inputs in-kernel; falls back to 'save_attn'
-    # where the fused paths are unavailable (CPU, unaligned dims)
+    # where the fused paths are unavailable (CPU, unaligned dims, or a
+    # stack below fused_attn_min_seq).  HBM cost of 'kernel': the saved
+    # probs are per-layer [B, H, N, N] bf16 (~depth*B*H*N^2*2 bytes —
+    # 223 MB at B=96/H=6/N=197/depth=12, vs 'save_attn' storing [B, N, D]
+    # attention outputs only); bigger client stacks that OOM under
+    # 'kernel' should set remat_policy='save_attn' or 'full'
     remat_policy: str = "kernel"
 
     @property
@@ -323,19 +328,26 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
     """Scan the stacked transformer layers over x: [B, N, D]."""
     dpr = jnp.asarray(cfg.drop_path_rates, dtype=jnp.float32)
     # DropPath at rate 0 is the identity: skip the per-sublayer bernoulli
-    # mask + select entirely (the canonical configs train with rate 0, and
-    # the masks cost real VPU/HBM time on every residual join).
+    # mask + select entirely.  NOTE the canonical scripts train at rate
+    # 0.1 — the reference factories pass drop_path_rate=args.dropout
+    # (mome.py:944) whose default is 0.1 (main.py:223) — so the masks are
+    # live in the flagship configuration and benchmarks must include them.
     use_dp = cfg.drop_path_rate > 0
 
-    fused_active = (cfg.fused_attn_ok and cfg.fused_mlp_ok
-                    and jax.default_backend() == "tpu")
+    # per-stack decision: the min-seq gate can route a short-sequence
+    # (text) stack to unfused attention even when the model config fuses —
+    # that stack must then fall back to 'save_attn' so it still has a
+    # residual policy (neither storing everything nor kernel residuals)
+    fused_attn_here = (cfg.fused_attn_ok
+                       and x.shape[1] >= cfg.fused_attn_min_seq
+                       and jax.default_backend() == "tpu")
+    fused_active = fused_attn_here and cfg.fused_mlp_ok
     policy = cfg.remat_policy
     if policy == "kernel" and not fused_active:
         policy = "save_attn"
 
     def layer_fwd(h, layer, rate, rng_a, rng_m):
-        if (cfg.fused_attn_ok and h.shape[1] >= cfg.fused_attn_min_seq
-                and jax.default_backend() == "tpu"):
+        if fused_attn_here:
             from fedcola_tpu.ops.fused_attention import \
                 make_fused_attention_sublayer
             dtype = h.dtype

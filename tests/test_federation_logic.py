@@ -108,28 +108,41 @@ def test_upload_vs_required_names():
 
 
 def test_nan_guard_names_offending_clients():
-    """The per-round loss readback raises (reference analog:
-    torch.autograd.set_detect_anomaly, main.py:307) when a client's
-    training loss goes non-finite, naming dataset and clients."""
+    """Numerics guards (reference analog: torch detect_anomaly,
+    main.py:307, which raises only on NaN in backward): by default a
+    non-finite client loss is a warning and the run aborts at the
+    post-aggregation global-params finiteness check; --detect_anomaly
+    upgrades the loss readback itself to an immediate error naming
+    dataset and clients."""
     from fedcola_tpu.data.loaders import load_federated_data
     from fedcola_tpu.federation.server import create_server
 
-    cfg = check_args(ExperimentConfig(
-        exp_name="nan", seed=3, multi_task=True,
-        datasets=["MedicalAbstracts", "MedicalAbstracts"],
-        modalities=["txt", "txt"], Ks=[2], Cs=[1.0], K=2,
-        R=1, E=3, B=16, eval_batch_size=32, optimizer="SGD",
-        lr=1e20,  # diverges within the first local epochs
-        criterion="CrossEntropyLoss", eval_type="global",
-        model_name="mome_test_patch16_32", seq_len=8,
-        split_type="iid", synthetic_data=True, use_pallas=False,
-        compute_dtype="float32", equal_sampled=True,
-        train_chunk_steps=4, resize=32, vocab_size=40, mesh_shape=[1]))
-    data = load_federated_data(cfg, np.random.RandomState(0))
-    server = create_server(cfg, data)
-    server.round = 1
-    with pytest.raises(FloatingPointError, match="MedicalAbstracts"):
-        server.update()
+    def make(detect_anomaly):
+        cfg = check_args(ExperimentConfig(
+            exp_name="nan", seed=3, multi_task=True,
+            datasets=["MedicalAbstracts", "MedicalAbstracts"],
+            modalities=["txt", "txt"], Ks=[2], Cs=[1.0], K=2,
+            R=1, E=3, B=16, eval_batch_size=32, optimizer="SGD",
+            lr=1e20,  # diverges within the first local epochs
+            criterion="CrossEntropyLoss", eval_type="global",
+            model_name="mome_test_patch16_32", seq_len=8,
+            split_type="iid", synthetic_data=True, use_pallas=False,
+            compute_dtype="float32", equal_sampled=True,
+            train_chunk_steps=4, resize=32, vocab_size=40, mesh_shape=[1],
+            detect_anomaly=detect_anomaly))
+        data = load_federated_data(cfg, np.random.RandomState(0))
+        server = create_server(cfg, data)
+        server.round = 1
+        return server
+
+    # default: the hard failure happens where corruption becomes permanent
+    with pytest.raises(FloatingPointError,
+                       match="aggregation produced non-finite"):
+        make(detect_anomaly=False).update()
+    # --detect_anomaly: fail at the loss readback, naming the clients
+    with pytest.raises(FloatingPointError,
+                       match="non-finite training loss.*MedicalAbstracts"):
+        make(detect_anomaly=True).update()
 
 
 def test_binary_last_dataset_rewrites_criterion_to_bce(monkeypatch):
@@ -149,3 +162,15 @@ def test_binary_last_dataset_rewrites_criterion_to_bce(monkeypatch):
         modalities=["img"], Ks=[2], Cs=[1.0],
         criterion="CrossEntropyLoss"))
     assert cfg2.criterion == "CrossEntropyLoss"
+
+
+def test_use_model_tokenizer_rejected_loudly():
+    """--use_model_tokenizer parity (reference data.py:173-181): upstream
+    asserts model_name in the legacy Bert family, so every mome_* MAT run
+    fails there too — we reject at check_args with a pointer instead of
+    silently ignoring the flag."""
+    with pytest.raises(ValueError, match="use_model_tokenizer"):
+        check_args(ExperimentConfig(
+            exp_name="tok", datasets=["MedicalAbstracts", "MedicalAbstracts"],
+            modalities=["txt", "txt"], use_model_tokenizer=True,
+            model_name="mome_small_patch16"))
