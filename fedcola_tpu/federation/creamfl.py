@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 from collections import defaultdict
 from typing import Dict, List
 
@@ -95,16 +96,10 @@ class CreamflServer(FedAvgServer):
         self.n_pub = len(idx)
         logger.info("[CREAMFL] public set: %d samples", self.n_pub)
 
-    def _pub_batches(self):
-        """Public-set batches, staged to device ONCE and reused: the pub
-        set is identical every epoch and round, so re-shipping its pixels
-        across the host link each pass would be pure waste (the host link
-        is the slowest wire — see FedAvgServer._resident_data)."""
-        if getattr(self, "_pub_batches_dev", None) is not None:
-            yield from self._pub_batches_dev
-            return
+    def _pub_batch_list(self):
+        """Host-side (numpy) public-set batches, padded to pub_batch_size."""
         B = self.cfg.pub_batch_size
-        staged = []
+        out = []
         for s in range(0, self.n_pub, B):
             e = min(s + B, self.n_pub)
             pad = B - (e - s)
@@ -112,11 +107,38 @@ class CreamflServer(FedAvgServer):
             if pad:
                 sel = np.concatenate([sel, np.repeat(sel[:1], pad)])
             valid = np.zeros((B,), bool); valid[:e - s] = True
-            staged.append(jax.device_put(
-                {"img": self.pub_images[sel], "txt": self.pub_texts[sel],
-                 "didx": sel.astype(np.int32), "valid": valid}))
-        self._pub_batches_dev = staged
-        yield from staged
+            out.append({"img": self.pub_images[sel],
+                        "txt": self.pub_texts[sel],
+                        "didx": sel.astype(np.int32), "valid": valid})
+        return out
+
+    def _pub_batches(self):
+        """Public-set batches, staged to device ONCE and reused: the pub
+        set is identical every epoch and round, so re-shipping its pixels
+        across the host link each pass would be pure waste (the host link
+        is the slowest wire — see FedAvgServer._resident_data).  The
+        staging honors the same HBM budget as the resident data plane
+        (FEDCOLA_RESIDENT_BUDGET): a large --num_pub_samples falls back to
+        per-pass host feeding instead of silently hoarding HBM for the
+        whole run; finalize() frees the pinned batches either way."""
+        if getattr(self, "_pub_batches_dev", None) is not None:
+            yield from self._pub_batches_dev
+            return
+        batches = self._pub_batch_list()
+        total = sum(b["img"].nbytes + b["txt"].nbytes for b in batches)
+        budget = int(os.environ.get("FEDCOLA_RESIDENT_BUDGET",
+                                    6 * 1024 ** 3))
+        if total <= budget:
+            self._pub_batches_dev = [jax.device_put(b) for b in batches]
+            yield from self._pub_batches_dev
+            return
+        if not getattr(self, "_pub_host_logged", False):
+            self._pub_host_logged = True
+            logger.info("[CREAMFL] public set stays host-fed per pass "
+                        "(%.2f GB > %.2f GB resident budget)",
+                        total / 1e9, budget / 1e9)
+        for b in batches:
+            yield jax.device_put(b)
 
     # ------------------------------------------------- global pub features --
 
@@ -447,3 +469,10 @@ class CreamflServer(FedAvgServer):
         if self.round % cfg.lr_decay_step == 0:
             self.curr_lr *= cfg.lr_decay
         return sampled
+
+    def finalize(self):
+        # release the device-pinned public batches + global pub features
+        # before checkpointing — they are training-only state
+        self._pub_batches_dev = None
+        self.g_img = self.g_txt = None
+        super().finalize()

@@ -152,3 +152,32 @@ def test_local_eval_on_holdouts():
     key = ("clients_evaluated_in" if "clients_evaluated_in" in res
            else "clients_evaluated_out")
     assert np.isfinite(res[key]["loss"]["avg"])
+
+
+def test_creamfl_pub_staging_budget_gate(tmp_path, monkeypatch):
+    """The pub-set device staging honors FEDCOLA_RESIDENT_BUDGET: over
+    budget -> per-pass host feed (no pinned batches); within budget ->
+    staged once; finalize() frees the pinned state."""
+    cfg = make_cfg(
+        algorithm="creamfl",
+        datasets=["CIFAR100", "AG_NEWS", "Coco", "Coco"],
+        modalities=["img", "txt", "img+txt", "img+txt"],
+        Ks=[2, 2, 2], Cs=[1.0, 1.0, 1.0],
+        num_pub_samples=20, pub_batch_size=8, B=8,
+        split_type="diri", cncntrtn=0.5,
+        result_path=str(tmp_path), log_path=str(tmp_path))
+    rng = np.random.RandomState(cfg.seed)
+    from fedcola_tpu.data.loaders import load_federated_data
+    data = load_federated_data(cfg, rng)
+    server = create_server(cfg, data)
+
+    monkeypatch.setenv("FEDCOLA_RESIDENT_BUDGET", "0")
+    batches = list(server._pub_batches())
+    assert len(batches) == 3                     # ceil(20/8)
+    assert getattr(server, "_pub_batches_dev", None) is None
+
+    monkeypatch.setenv("FEDCOLA_RESIDENT_BUDGET", str(6 * 1024 ** 3))
+    batches = list(server._pub_batches())
+    assert server._pub_batches_dev is not None
+    server.finalize()
+    assert server._pub_batches_dev is None and server.g_img is None

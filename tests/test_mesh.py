@@ -151,3 +151,89 @@ def test_tp_leaf_specs():
     assert spec4(b["qkv_bias"], 3) == ("clients", None, "model")
     assert spec4(b["norm1_scale"], 3) == ("clients", None, None)
     assert spec4(out["emb"]["1"]["word"], 3) == ("clients", "model", None)
+
+
+def test_pallas_kernels_under_sharded_clients_mesh():
+    """Interpret-mode smoke for the fused-kernel/mesh composition: the
+    Pallas sublayers (whose custom_vmap rules turn the client axis into
+    an outer grid dimension) must compile and execute — forward AND
+    backward — when the vmapped client axis is sharded over a >1-device
+    mesh, matching plain-math numerics per client.  Real-TPU runs verify
+    the kernels single-device only (PARITY.md boundary); this closes the
+    composition structurally on the virtual CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from fedcola_tpu.ops.fused_attention import make_fused_attention_sublayer
+    from fedcola_tpu.ops.fused_mlp import fused_mlp_sublayer_items
+
+    C, B, N, D, H = 4, 2, 12, 16, 2
+    hd = D // H
+    rng = np.random.RandomState(0)
+
+    def r(*s):
+        return jnp.asarray(rng.randn(*s) * 0.2, jnp.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("clients",))
+    sh = NamedSharding(mesh, P("clients"))
+
+    # --- fused attention sublayer ---
+    args = (r(C, B, N, D), r(C, D) + 1, r(C, D), r(C, D, 3 * D),
+            r(C, 3 * D), r(C, D, D), r(C, D))
+    sharded = tuple(jax.device_put(a, sh) for a in args)
+    attn = jax.vmap(make_fused_attention_sublayer(H))
+
+    def loss(*a):
+        return jnp.sum(jnp.square(attn(*a)))
+
+    out = jax.jit(attn)(*sharded)
+    grads = jax.jit(jax.grad(loss, argnums=tuple(range(7))))(*sharded)
+
+    def plain(x, lns, lnb, wqkv, bqkv, wproj, bproj):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+        h = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * lns + lnb
+        qkv = (h @ wqkv + bqkv).reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * hd ** -0.5, qkv[1], qkv[2]
+        p = jax.nn.softmax(jnp.einsum("bhqd,bhkd->bhqk", q, k), axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v).transpose(0, 2, 1, 3)
+        return o.reshape(B, N, D) @ wproj + bproj
+
+    vplain = jax.vmap(plain)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vplain(*args)),
+                               rtol=2e-4, atol=2e-5)
+    gref = jax.grad(lambda *a: jnp.sum(jnp.square(vplain(*a))),
+                    argnums=tuple(range(7)))(*args)
+    for a, b in zip(grads, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+    # --- fused MLP sublayer (items mode) ---
+    HID = 4 * D
+    margs = (r(C, B, N, D), r(C, D) + 1, r(C, D), r(C, D, HID),
+             r(C, HID), r(C, HID, D), r(C, D))
+    msharded = tuple(jax.device_put(a, sh) for a in margs)
+    mlp = jax.vmap(fused_mlp_sublayer_items)
+
+    def mloss(*a):
+        return jnp.sum(jnp.square(mlp(*a)))
+
+    mout = jax.jit(mlp)(*msharded)
+    mgrads = jax.jit(jax.grad(mloss, argnums=tuple(range(7))))(*msharded)
+
+    def mplain(x, lns, lnb, w1, b1, w2, b2):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+        h = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * lns + lnb
+        return jax.nn.gelu(h @ w1 + b1, approximate=False) @ w2 + b2
+
+    vmplain = jax.vmap(mplain)
+    np.testing.assert_allclose(np.asarray(mout), np.asarray(vmplain(*margs)),
+                               rtol=2e-4, atol=2e-5)
+    mgref = jax.grad(lambda *a: jnp.sum(jnp.square(vmplain(*a))),
+                     argnums=tuple(range(7)))(*margs)
+    for a, b in zip(mgrads, mgref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
