@@ -182,11 +182,58 @@ def tpu_bf16_peak():
     return 197e12, f"{kind} (unknown generation; assuming v5e peak)"
 
 
-def full_round(on_tpu):
-    """One production FedAvg round at the scripts/coco.sh population shape
-    on synthetic data: feeder + 3 group update programs + aggregation +
-    central eval (acc + retrieval).  Times the second round (first pays
-    jit compile)."""
+def _pathbacked_coco_fixture(root, n_train_img, n_test_img, size):
+    """COCO-format on-disk fixture (jpegs + captions json + vocab) so the
+    bench can time the REAL data path: json parse -> decode/materialize ->
+    deduped-store HBM staging -> device row gathers.  Cached across runs."""
+    import json as _json
+    stamp = os.path.join(root, f"ready_{n_train_img}_{n_test_img}_{size}")
+    if os.path.exists(stamp):
+        return root
+    from PIL import Image
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+    os.makedirs(os.path.join(root, "all_images"), exist_ok=True)
+    rng = np.random.RandomState(0)
+
+    def make(split, n_img):
+        images, anns = [], []
+        aid = 0 if split == "train" else 10 ** 7
+        base = 0 if split == "train" else 10 ** 6
+        for i in range(n_img):
+            fn = f"{split}_{i}.jpg"
+            Image.fromarray(rng.randint(0, 256, (size, size, 3))
+                            .astype(np.uint8)).save(
+                os.path.join(root, "all_images", fn), quality=85)
+            images.append({"id": base + i, "file_name": fn})
+            for c in range(5):
+                anns.append({"id": aid, "image_id": base + i,
+                             "caption": f"a photo number {i} caption {c} "
+                                        f"of several things"})
+                aid += 1
+        name = ("captions_train2014.json" if split == "train"
+                else "captions_val2014.json")
+        with open(os.path.join(root, "annotations", name), "w") as f:
+            _json.dump({"images": images, "annotations": anns}, f)
+
+    make("train", n_train_img)
+    make("test", n_test_img)
+    with open(os.path.join(root, "vocab.txt"), "w") as f:
+        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "photo",
+                           "number", "caption", "of", "several", "things"]
+                          + [str(i) for i in range(50)]))
+    open(stamp, "w").close()
+    return root
+
+
+def full_round(on_tpu, pathbacked=False):
+    """One production FedAvg round at the scripts/coco.sh population shape:
+    feeder + group update programs + aggregation + central eval (acc +
+    retrieval).  Times the second round (first pays jit compile).
+
+    ``pathbacked=True`` swaps the mm group's data for a REAL on-disk
+    COCO-format fixture (jpegs decoded at load, deduped store staged into
+    HBM) — the flagship scripts' actual data path, proving the resident
+    plane's round time holds beyond synthetic arrays."""
     from fedcola_tpu.config import ExperimentConfig, check_args
     from fedcola_tpu.data.loaders import load_federated_data
     from fedcola_tpu.federation.server import create_server
@@ -206,6 +253,15 @@ def full_round(on_tpu):
     if not on_tpu:
         kw.update(model_name="mome_test_patch16_32", resize=32, B=8, E=1,
                   eval_batch_size=64, seq_len=8, vocab_size=120)
+    if pathbacked:
+        size = kw["resize"]
+        n_img = 1000 if on_tpu else 30
+        root = _pathbacked_coco_fixture(
+            os.path.join("/tmp", "fedcola_bench_coco"), n_img,
+            max(n_img // 4, 5), size)
+        kw.update(datasets=["Coco", "Coco"], modalities=["img+txt", "img+txt"],
+                  Ks=[8], Cs=[0.25], K=8, synthetic_data=False,
+                  data_paths=[root, root], exp_name="bench_round_pathbacked")
     cfg = check_args(ExperimentConfig(**kw))
     data = load_federated_data(cfg, np.random.RandomState(cfg.seed))
     server = create_server(cfg, data)
@@ -213,6 +269,12 @@ def full_round(on_tpu):
         server.round = r
         server.update()
         server.evaluate([])
+    if pathbacked:
+        # the point of this figure: the flagship data actually went
+        # HBM-resident (deduped store + row map), train and eval
+        assert server._resident_cache.get("Coco") is not None, \
+            "path-backed train set failed to stage HBM-resident"
+        assert "img_store" in server._resident_cache["Coco"]
     n_samples = 0
     t0 = time.perf_counter()
     server.round = 3
@@ -243,6 +305,7 @@ def main():
           f"step_flops={step_flops/1e9:.1f} GF/sample)", file=sys.stderr)
 
     round_s, round_sps = float("nan"), float("nan")
+    pb_s, pb_sps = float("nan"), float("nan")
     if os.environ.get("FEDCOLA_BENCH_FULLROUND", "1") != "0":
         import logging
         logging.disable(logging.WARNING)
@@ -250,6 +313,11 @@ def main():
         print(f"[bench] full round: {round_s:.2f} s "
               f"({round_sps:.1f} samples/s incl. feed+agg+eval)",
               file=sys.stderr)
+        if os.environ.get("FEDCOLA_BENCH_PATHBACKED", "1") != "0":
+            pb_s, pb_sps = full_round(on_tpu, pathbacked=True)
+            print(f"[bench] path-backed round (real jpeg COCO fixture, "
+                  f"resident store): {pb_s:.2f} s ({pb_sps:.1f} samples/s)",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "mm client-update samples/sec/chip "
@@ -264,6 +332,8 @@ def main():
         "device_kind": kind,
         "round_seconds": round(round_s, 2),
         "round_samples_per_sec": round(round_sps, 1),
+        "pathbacked_round_seconds": round(pb_s, 2),
+        "pathbacked_round_samples_per_sec": round(pb_sps, 1),
     }))
 
 

@@ -587,18 +587,65 @@ class FedAvgServer:
         ``_create_clients`` (acc1 for cls, f1 otherwise,
         fedavgserver.py:252)."""
         from fedcola_tpu.ops.losses import clip_contrastive, cross_entropy
+        from fedcola_tpu.parallel.client_update import build_local_eval
         losses, sizes, per_client = [], [], {}
-        # one replicated parameter staging per dataset (not per client)
-        params_dev_of: Dict[str, object] = {}
+        groups: Dict[str, List[int]] = defaultdict(list)
         for i in ids:
             shard = self.data.client_shards[i]
             if shard.test_indices is None or len(shard.test_indices) == 0:
                 continue
-            ds = self.clients[i].dataset
+            groups[self.clients[i].dataset].append(i)
+
+        serial: List[int] = []
+        for ds, gids in groups.items():
             mcfg = self.model_cfgs[ds]
             spec = self._group_spec(ds)
             # client holdouts index into the TRAIN dataset, so the
             # HBM-resident train arrays serve local eval too
+            resident = self._resident_data(ds, spec)
+            task = self.clients[gids[0]].task
+            if resident is None or not (task == "cls"
+                                        or spec.modality == "img+txt"):
+                serial.extend(gids)   # host-fed / sklearn-metric fallback
+                continue
+            # batched: the whole group evaluates as ONE program —
+            # vmap(clients)[scan(batches)] on the resident plane with a
+            # single readback (replaces the serial per-client host loop)
+            B = self.mesh_plan.pad_eval_batch(self.cfg.B)
+            tidxs = [self.data.client_shards[i].test_indices for i in gids]
+            S = max(-(-len(t) // B) for t in tidxs)
+            n = len(gids)
+            n_pad = self._pad_to_mesh(n)
+            idx = np.zeros((n_pad, S, B), np.int32)
+            val = np.zeros((n_pad, S, B), bool)
+            for c, t in enumerate(tidxs):
+                for s in range(-(-len(t) // B)):
+                    sel = t[s * B:(s + 1) * B]
+                    idx[c, s, :len(sel)] = sel
+                    if 0 < len(sel) < B:
+                        idx[c, s, len(sel):] = sel[0]
+                    val[c, s, :len(sel)] = True
+            fn = build_local_eval(mcfg, spec)
+            arrs = self._shard_clients({"idx": idx, "valid": val})
+            params_dev = self.mesh_plan.replicate(self.global_params[ds])
+            ls, cs, ns = fn(params_dev, arrs["idx"], arrs["valid"], resident)
+            ls, cs, ns = (np.asarray(a, np.float64)[:n]
+                          for a in (ls, cs, ns))
+            for j, i in enumerate(gids):
+                res = {"loss": float(ls[j] / max(ns[j], 1.0)),
+                       "metrics": ({"acc1": float(cs[j] / max(ns[j], 1.0))}
+                                   if spec.modality != "img+txt" else {})}
+                per_client[i] = res
+                losses.append(res["loss"])
+                sizes.append(len(tidxs[j]))
+
+        # one replicated parameter staging per dataset (not per client)
+        params_dev_of: Dict[str, object] = {}
+        for i in serial:
+            shard = self.data.client_shards[i]
+            ds = self.clients[i].dataset
+            mcfg = self.model_cfgs[ds]
+            spec = self._group_spec(ds)
             resident = self._resident_data(ds, spec)
             fwd = build_eval_forward(mcfg, spec,
                                      resident=resident is not None)

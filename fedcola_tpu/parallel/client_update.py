@@ -124,6 +124,21 @@ def _take_images(data, idx):
     return jnp.take(data["img"], idx, axis=0)
 
 
+def resident_gather(spec: GroupSpec, data, idx, valid):
+    """Device-side batch assembly from HBM-resident dataset arrays."""
+    batch = {"valid": valid}
+    if spec.modality == "img":
+        batch["x"] = _take_images(data, idx)
+        batch["y"] = jnp.take(data["tgt"], idx, axis=0)
+    elif spec.modality == "txt":
+        batch["x"] = jnp.take(data["txt"], idx, axis=0)
+        batch["y"] = jnp.take(data["tgt"], idx, axis=0)
+    else:  # img+txt: token ids ride the target slot
+        batch["x"] = _take_images(data, idx)
+        batch["y"] = jnp.take(data["txt"], idx, axis=0)
+    return batch
+
+
 def _cls_criterion(name: str):
     """Criterion lookup by torch.nn name (reference fedavgclient.py:23,
     incl. the monkey-patched losses src/utils.py:286-315)."""
@@ -226,17 +241,7 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
         """Device-side row gather for the resident plane (step carries
         ``idx [B]`` + ``valid [B]``); train augmentation (crop/flips)
         applies right after the gather, per-sample, from ``aug_rng``."""
-        idx = step["idx"]
-        batch = {"valid": step["valid"]}
-        if spec.modality == "img":
-            batch["x"] = _take_images(data, idx)
-            batch["y"] = jnp.take(data["tgt"], idx, axis=0)
-        elif spec.modality == "txt":
-            batch["x"] = jnp.take(data["txt"], idx, axis=0)
-            batch["y"] = jnp.take(data["tgt"], idx, axis=0)
-        else:  # img+txt: token ids ride the target slot
-            batch["x"] = _take_images(data, idx)
-            batch["y"] = jnp.take(data["txt"], idx, axis=0)
+        batch = resident_gather(spec, data, step["idx"], step["valid"])
         if aug_rng is not None:
             batch["x"] = device_augment(batch["x"], aug_rng, spec.aug_crop,
                                         spec.aug_randhf, spec.aug_randvf)
@@ -322,3 +327,55 @@ def build_eval_forward(cfg: MATConfig, spec: GroupSpec,
         return outs[spec.img_slot], outs[spec.txt_slot]
 
     return jax.jit(fwd)
+
+
+@functools.lru_cache(maxsize=32)
+def build_local_eval(cfg: MATConfig, spec: GroupSpec):
+    """Batched per-client holdout evaluation on the resident plane.
+
+    The reference's per-client eval is broken for MAT
+    (``self.model(inputs, task=...)``, fedavgclient.py:140) and would run
+    one client at a time in a thread anyway; here ALL of a dataset's
+    evaluated clients run as one jitted program —
+    ``vmap(clients)[lax.scan(batches)]`` over the shared global params and
+    HBM-resident dataset arrays — returning per-client device accumulators
+    (loss*count sum, correct count, valid count) with one readback total.
+    Padded steps/rows are masked no-ops; accumulation mirrors
+    ``MetricManager.track``'s loss*n weighting (src/utils.py:339,347).
+    """
+    dtype = jnp.dtype(cfg.compute_dtype)
+    from fedcola_tpu.ops.losses import cross_entropy
+
+    def client_fn(params, idx, valid, data):
+        def body(carry, xs):
+            ls, cs, ns = carry
+            i, v = xs
+            batch = resident_gather(spec, data, i, v)
+            ins = [None] * len(cfg.modalities)
+            if spec.modality == "img+txt":
+                ins[spec.img_slot] = preprocess_images(batch["x"], spec,
+                                                       dtype)
+                ins[spec.txt_slot] = batch["y"]
+                outs = mat_apply(cfg, params, ins, feat_out=True)
+                loss = _mm_criterion(spec.criterion)(
+                    outs[spec.img_slot], outs[spec.txt_slot], v)
+                correct = jnp.zeros((), jnp.int32)
+            else:
+                slot = spec.img_slot if spec.modality == "img" \
+                    else spec.txt_slot
+                ins[slot] = preprocess_images(batch["x"], spec, dtype) \
+                    if spec.modality == "img" else batch["x"]
+                logits = mat_apply(cfg, params, ins)[slot]
+                # per-client eval loss is CE regardless of the training
+                # criterion (matches the serial path / reference intent)
+                loss = cross_entropy(logits, batch["y"], v)
+                correct = _count_correct(logits, batch["y"], v)
+            nv = jnp.sum(v).astype(jnp.float32)
+            return (ls + loss * nv, cs + correct.astype(jnp.float32),
+                    ns + nv), None
+
+        init = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+        (ls, cs, ns), _ = jax.lax.scan(body, init, (idx, valid))
+        return ls, cs, ns
+
+    return jax.jit(jax.vmap(client_fn, in_axes=(None, 0, 0, None)))

@@ -181,3 +181,27 @@ def test_creamfl_pub_staging_budget_gate(tmp_path, monkeypatch):
     assert server._pub_batches_dev is not None
     server.finalize()
     assert server._pub_batches_dev is None and server.g_img is None
+
+
+def test_batched_local_eval_matches_serial(monkeypatch):
+    """The vmapped+scanned batched local eval (resident plane) must produce
+    the same cohort summaries as the serial host-fed fallback."""
+    def run(budget):
+        monkeypatch.setenv("FEDCOLA_RESIDENT_BUDGET", str(budget))
+        cfg = make_cfg(eval_type="both", test_size=0.2, R=1)
+        rng = np.random.RandomState(cfg.seed)
+        from fedcola_tpu.data.loaders import load_federated_data
+        data = load_federated_data(cfg, rng)
+        server = create_server(cfg, data)
+        server.round = 1
+        sampled = server.update()
+        server.evaluate(sampled)
+        key = ("clients_evaluated_in"
+               if "clients_evaluated_in" in server.results[1]
+               else "clients_evaluated_out")
+        return server.results[1][key]["loss"]
+
+    batched = run(6 * 1024 ** 3)       # resident -> batched path
+    serial = run(0)                    # budget 0 -> serial host fallback
+    for k in ("avg", "std", "top10p_avg", "bottom10p_avg"):
+        assert batched[k] == pytest.approx(serial[k], abs=1e-5), k

@@ -53,3 +53,67 @@ def test_fl_learns_synthetic_rule():
     acc = server.results[cfg.R]["server_evaluated_MedicalAbstracts"][
         "metrics"]["acc1"]
     assert acc > 0.45, f"federated training failed to learn (acc1={acc})"
+
+
+def _learnable_rtv_dataset(codes, vocab, img_hw, seed):
+    """Retrieval task with a learnable cross-modal rule: each image is a
+    fixed random pixel pattern determined by a code, and every one of its
+    5 captions carries that code as a token — contrastive training must
+    align the two towers on the code.  Evaluation uses SEEN codes with
+    fresh caption noise (a convergence check, like the reference's own
+    training-recall climbing — unseen codes would mean untrained token
+    embeddings)."""
+    rng = np.random.RandomState(seed)
+    n_img = len(codes)
+    n = n_img * 5
+    texts = rng.randint(5, vocab, (n, seq_len := 8)).astype(np.int32)
+    texts[:, 0] = 2
+    texts[:, 1] = np.repeat(codes, 5)
+    imgs = np.stack([np.random.RandomState(1000 + c)
+                     .randint(0, 256, (img_hw, img_hw, 3)).astype(np.uint8)
+                     for c in codes])
+    ds = TaskDataset(name="Coco", task="rtv", modality="img+txt",
+                     num_classes=None, n=n, texts=texts, targets=texts,
+                     images=imgs[np.arange(n) // 5],
+                     image_ids=np.arange(n) // 5, ann_ids=np.arange(n))
+    return ds
+
+
+@pytest.mark.slow
+def test_fl_learns_synthetic_retrieval():
+    """Multi-round federated contrastive training on the mm (img+txt)
+    group must push retrieval R@1 far above chance — the convergence
+    analog of the classification learnability test, on the flagship
+    (retrieval) task."""
+    vocab = 64
+    cfg = check_args(ExperimentConfig(
+        exp_name="learn_rtv", seed=5, multi_task=True,
+        datasets=["Coco", "Coco"], modalities=["img+txt", "img+txt"],
+        Ks=[2], Cs=[1.0], K=2,
+        R=18, E=3, B=16, eval_batch_size=64, optimizer="AdamW", lr=1e-3,
+        criterion="CrossEntropyLoss", eval_type="global",
+        model_name="mome_test16_patch16_32", seq_len=8,
+        split_type="iid", synthetic_data=True, use_pallas=False,
+        compute_dtype="float32", equal_sampled=True,
+        train_chunk_steps=8, resize=32, vocab_size=vocab, mesh_shape=[1]))
+    data = load_federated_data(cfg, np.random.RandomState(0))
+    codes = np.random.RandomState(1).permutation(np.arange(5, vocab))[:40]
+    train = _learnable_rtv_dataset(codes, vocab, 32, seed=1)
+    test = _learnable_rtv_dataset(codes[:25], vocab, 32, seed=2)
+    for shard in data.client_shards:
+        shard.dataset = train
+    data.client_shards[0].indices = np.arange(100)
+    data.client_shards[1].indices = np.arange(100, 200)
+    for meta in data.client_meta.values():
+        object.__setattr__(meta, "n_train", 100)
+    data.server_eval["Coco"] = test
+
+    server = create_server(cfg, data)
+    for r in range(1, cfg.R + 1):
+        server.round = r
+        server.update()
+    server.evaluate([])
+    ev = server.results[cfg.R]["server_evaluated_Coco"]
+    r1 = ev["Coco 5k_r@1sum"]          # i2t + t2i R@1 on the full gallery
+    # chance: 1/25 per direction -> r@1sum ~ 0.08
+    assert r1 > 0.6, f"contrastive FL failed to learn retrieval (r@1sum={r1})"
