@@ -146,6 +146,9 @@ def evaluate_n_fold(image_features, caption_features, image_classes,
     for k in range(n_crossfolds):
         isl = slice(k * n_images_per_fold, (k + 1) * n_images_per_fold)
         csl = slice(k * n_captions_per_fold, (k + 1) * n_captions_per_fold)
+        if (len(image_features[isl]) == 0
+                or len(caption_features[csl]) == 0):
+            continue   # tiny gallery: fewer populated folds than requested
         folds["i2t"].append(evaluate_recall(
             image_features[isl], caption_features[csl],
             image_classes[isl], caption_classes[csl]))

@@ -8,23 +8,30 @@ torch, and multi-device integration tests on jax's CPU device emulation.
 
 import os
 
+TEST_ON_TPU = os.environ.get("FEDCOLA_TEST_TPU") == "1"
+
 # Force the CPU backend: the image's sitecustomize registers the axon TPU
 # plugin whenever PALLAS_AXON_POOL_IPS is set, which would route every test
-# compile through the real-chip tunnel.
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# compile through the real-chip tunnel.  FEDCOLA_TEST_TPU=1 keeps the real
+# chip for the TPU-gated numerics tests (e.g. the bf16 saved-residuals
+# tolerance check):
+#   FEDCOLA_TEST_TPU=1 python -m pytest tests/ -m tpu
+if not TEST_ON_TPU:
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 # The sitecustomize may already have registered (and selected) the axon TPU
 # plugin before this file runs; force the selection back to CPU.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu", jax.default_backend()
+if not TEST_ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", jax.default_backend()
 
 # Compile-time economics: the suite is compile-bound on one CPU core.
 # Test models are tiny, so XLA's optimization passes cost far more compile
@@ -32,7 +39,8 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 # re-runs near compile-free.  Set via config.update, NOT env vars: the
 # image's sitecustomize imports jax at interpreter startup, long before
 # this file runs, so env vars would be read too late under pytest.
-jax.config.update("jax_disable_most_optimizations", True)
+if not TEST_ON_TPU:
+    jax.config.update("jax_disable_most_optimizations", True)
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "..", ".pytest_cache", "jax-cache"))

@@ -103,3 +103,46 @@ def test_save_residuals_grads_match_recompute_path():
     for a, b in zip(gv_rec, gv_sav):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.tpu
+def test_save_residuals_bf16_grad_tolerance_on_tpu():
+    """'kernel' remat policy numerics on real hardware: the residual-saving
+    backward reads softmax probs + head concat saved in bf16 — this
+    quantization must stay within bf16-roundoff of the recompute backward
+    at the production compute dtype (ADVICE r2: the save-vs-recompute
+    equivalence was only ever tested in f32 on CPU).
+
+    Run with:  FEDCOLA_TEST_TPU=1 python -m pytest tests/ -m tpu
+    """
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real TPU (FEDCOLA_TEST_TPU=1)")
+    Ht, Nt, Dt = 6, 197, 384          # production ViT-small shape
+    rng = np.random.RandomState(0)
+    args = (jnp.asarray(rng.randn(2, Nt, Dt), jnp.bfloat16),
+            jnp.asarray(rng.rand(Dt) + 0.5, jnp.float32),
+            jnp.asarray(rng.randn(Dt) * 0.1, jnp.float32),
+            jnp.asarray(rng.randn(Dt, 3 * Dt) * 0.05, jnp.bfloat16),
+            jnp.asarray(rng.randn(3 * Dt) * 0.1, jnp.bfloat16),
+            jnp.asarray(rng.randn(Dt, Dt) * 0.05, jnp.bfloat16),
+            jnp.asarray(rng.randn(Dt) * 0.1, jnp.bfloat16))
+    fn_save = make_fused_attention_sublayer(Ht, save_residuals=True)
+    fn_rec = make_fused_attention_sublayer(Ht, save_residuals=False)
+    do = jnp.asarray(np.random.RandomState(9).randn(2, Nt, Dt), jnp.bfloat16)
+
+    def g(fn):
+        return jax.grad(
+            lambda *a: jnp.sum(fn(*a).astype(jnp.float32) * do.astype(jnp.float32)),
+            argnums=tuple(range(7)))(*args)
+
+    gs, gr = g(fn_save), g(fn_rec)
+    np.testing.assert_allclose(
+        np.asarray(fn_save(*args), np.float32),
+        np.asarray(fn_rec(*args), np.float32), rtol=2e-2, atol=2e-2)
+    for a, b, nm in zip(gs, gr, ["dx", "dlns", "dlnb", "dwqkv", "dbqkv",
+                                 "dwproj", "dbproj"]):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.maximum(np.abs(b).max(), 1e-3)
+        rel = np.abs(a - b).max() / denom
+        assert rel < 2e-2, f"{nm}: max rel diff {rel:.4f} exceeds bf16 tolerance"
