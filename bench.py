@@ -283,6 +283,11 @@ def full_round(on_tpu, pathbacked=False):
     dt = time.perf_counter() - t0
     for cid in sampled:
         n_samples += server.clients[cid].n_train * cfg.E
+    sections = server.results[3].get("round_sections", {})
+    print(f"[bench] round sections: "
+          + " ".join(f"{k}={v:.2f}s" for k, v in sections.items())
+          + f" | eval={dt - server.results[3]['round_seconds']:.2f}s",
+          file=sys.stderr)
     return dt, n_samples / dt
 
 
@@ -299,10 +304,16 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     on_tpu = jax.default_backend() == "tpu"
 
-    ours, ref, mfu, step_flops, kind = headline(on_tpu)
-    print(f"[bench] headline ours={ours:.2f} baseline={ref:.2f} samples/s "
-          f"mfu={mfu:.3f} (backend={jax.default_backend()} [{kind}], "
-          f"step_flops={step_flops/1e9:.1f} GF/sample)", file=sys.stderr)
+    if os.environ.get("FEDCOLA_BENCH_HEADLINE", "1") != "0":
+        ours, ref, mfu, step_flops, kind = headline(on_tpu)
+        print(f"[bench] headline ours={ours:.2f} baseline={ref:.2f} "
+              f"samples/s mfu={mfu:.3f} (backend={jax.default_backend()} "
+              f"[{kind}], step_flops={step_flops/1e9:.1f} GF/sample)",
+              file=sys.stderr)
+    else:   # quick full-round iteration mode
+        ours = ref = float("nan")
+        mfu = float("nan")
+        kind = tpu_bf16_peak()[1] if on_tpu else "cpu"
 
     round_s, round_sps = float("nan"), float("nan")
     pb_s, pb_sps = float("nan"), float("nan")

@@ -424,6 +424,7 @@ def _fwd_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj):
         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _make_fwd_kernel(H, IB),
+        name="attn_sublayer_fwd",
         grid=(n, B // IB),
         in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, 3 * D)),
                   per_c((1, 3 * D)), per_c((D, D)), per_c((1, D))],
@@ -450,6 +451,7 @@ def _bwd_call(H, x, lns, lnb, wqkv, bqkv, wproj, da):
     f32 = jnp.float32
     return pl.pallas_call(
         _make_bwd_kernel(H, IB),
+        name="attn_sublayer_bwd",
         grid=(n, B // IB),
         in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, 3 * D)),
                   per_c((1, 3 * D)), per_c((D, D)), item],
@@ -501,6 +503,7 @@ def _fwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj):
         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _make_fwd_save_kernel(H, IB),
+        name="attn_sublayer_fwd_save",
         grid=(n, B // IB),
         in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, 3 * D)),
                   per_c((1, 3 * D)), per_c((D, D)), per_c((1, D))],
@@ -532,6 +535,7 @@ def _bwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, p, cat, da):
     f32 = jnp.float32
     return pl.pallas_call(
         _make_bwd_save_kernel(H, IB),
+        name="attn_sublayer_bwd_save",
         grid=(n, B // IB),
         in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, 3 * D)),
                   per_c((1, 3 * D)), per_c((D, D)), p_item, item, item],

@@ -163,6 +163,7 @@ def _fwd_call(x, w1, b1, w2, b2):
                                        memory_space=pltpu.VMEM)
     o = pl.pallas_call(
         _fwd_kernel,
+        name="mlp_fwd_rows",
         grid=(n, xp.shape[1] // R),
         in_specs=[row, per_c((D, Hd)), per_c((1, Hd)), per_c((Hd, D)),
                   per_c((1, D))],
@@ -192,6 +193,7 @@ def _bwd_call(x, w1, b1, w2, do):
                                        memory_space=pltpu.VMEM)
     dx, dw1, db1, dw2, db2 = pl.pallas_call(
         _bwd_kernel,
+        name="mlp_bwd_rows",
         grid=(n, xp.shape[1] // R),
         in_specs=[row, per_c((D, Hd)), per_c((1, Hd)), per_c((Hd, D)), row],
         out_specs=(row,
@@ -381,6 +383,7 @@ def _ln_fwd_call(x, lns, lnb, w1, b1, w2, b2):
                                        memory_space=pltpu.VMEM)
     o = pl.pallas_call(
         _ln_fwd_kernel,
+        name="mlp_ln_fwd_rows",
         grid=(n, xp.shape[1] // R),
         in_specs=[row, per_c((1, D)), per_c((1, D)), per_c((D, Hd)),
                   per_c((1, Hd)), per_c((Hd, D)), per_c((1, D))],
@@ -412,6 +415,7 @@ def _ln_bwd_call(x, lns, lnb, w1, b1, w2, do):
     f32 = jnp.float32
     outs = pl.pallas_call(
         _ln_bwd_kernel,
+        name="mlp_ln_bwd_rows",
         grid=(n, xp.shape[1] // R),
         in_specs=[row, per_c((1, D)), per_c((1, D)), per_c((D, Hd)),
                   per_c((1, Hd)), per_c((Hd, D)), row],
@@ -632,6 +636,7 @@ def _ln_item_fwd_call(x, lns, lnb, w1, b1, w2, b2):
                                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _make_ln_item_fwd_kernel(IB),
+        name="mlp_ln_fwd_items",
         grid=(n, B // IB),
         in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, Hd)),
                   per_c((1, Hd)), per_c((Hd, D)), per_c((1, D))],
@@ -660,6 +665,7 @@ def _ln_item_bwd_call(x, lns, lnb, w1, b1, w2, do):
     f32 = jnp.float32
     return pl.pallas_call(
         _make_ln_item_bwd_kernel(IB),
+        name="mlp_ln_bwd_items",
         grid=(n, B // IB),
         in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, Hd)),
                   per_c((1, Hd)), per_c((Hd, D)), item],

@@ -24,6 +24,12 @@ import numpy as np
 def run_trace(outdir: str):
     import jax
     import jax.numpy as jnp
+    # persistent compile cache shared with bench.py (the unrolled
+    # production program takes minutes to compile cold)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax-cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     from fedcola_tpu.models.mat import MATConfig, init_mat
     from fedcola_tpu.parallel.client_update import GroupSpec, build_group_update
     from fedcola_tpu.parallel.optim import OptimizerSpec, init_opt_state
@@ -91,6 +97,7 @@ def analyze(outdir: str, top: int = 40):
             tid_name[(e["pid"], e["tid"])] = e["args"].get("name", "")
     dev_pids = {p for p, nm in pid_name.items()
                 if "TPU" in nm or "/device:" in nm}
+    import re as _re
     by_op = defaultdict(float)
     total = 0.0
     for e in events:
@@ -99,8 +106,14 @@ def analyze(outdir: str, top: int = 40):
         tname = tid_name.get((e["pid"], e["tid"]), "")
         if "step" in tname.lower():
             continue  # step track duplicates op track
+        name = e["name"]
+        if name.startswith(("jit_", "while")):
+            continue  # outer program frames double-count their children
         dur = e.get("dur", 0) / 1e6
-        by_op[e["name"]] += dur
+        # aggregate instances: strip trailing .N / _N suffixes so the 12
+        # per-layer copies of each named pallas kernel sum into one row
+        name = _re.sub(r"[._]\d+$", "", name)
+        by_op[name] += dur
         total += dur
     print(f"trace: {path}")
     print(f"total device op time: {total:.4f}s across {len(by_op)} op names")
