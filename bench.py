@@ -175,10 +175,15 @@ def tpu_bf16_peak():
     denominator is meaningless if it assumes the wrong chip)."""
     import jax
     kind = jax.devices()[0].device_kind.lower()
-    for sub, peak in (("v6", 918e12), ("v5p", 459e12), ("v5", 197e12),
+    for sub, peak in (("v6", 918e12), ("v5p", 459e12),
+                      ("v5 lite", 197e12), ("v5e", 197e12),
                       ("v4", 275e12)):
         if sub in kind:
             return peak, kind
+    # bare "v5" (neither lite nor p spelled out) is ambiguous between the
+    # 197 and 459 TFLOP/s generations — say so rather than guess silently
+    if "v5" in kind:
+        return 197e12, f"{kind} (ambiguous v5; assuming v5e/lite peak)"
     return 197e12, f"{kind} (unknown generation; assuming v5e peak)"
 
 
@@ -256,8 +261,11 @@ def full_round(on_tpu, pathbacked=False):
     if pathbacked:
         size = kw["resize"]
         n_img = 1000 if on_tpu else 30
+        # per-config fixture directory: CPU-smoke and TPU configs must not
+        # clobber each other's jpegs/annotations under a shared root
         root = _pathbacked_coco_fixture(
-            os.path.join("/tmp", "fedcola_bench_coco"), n_img,
+            os.path.join("/tmp", "fedcola_bench_coco",
+                         f"{n_img}_{max(n_img // 4, 5)}_{size}"), n_img,
             max(n_img // 4, 5), size)
         kw.update(datasets=["Coco", "Coco"], modalities=["img+txt", "img+txt"],
                   Ks=[8], Cs=[0.25], K=8, synthetic_data=False,

@@ -26,9 +26,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from fedcola_tpu.data.datasets import TaskDataset
 from fedcola_tpu.models.mat import MATConfig
 from fedcola_tpu.parallel.client_update import GroupSpec, build_eval_forward
+
+# max eval batches dispatched ahead of their readback: deep enough to keep
+# the device pipelined behind the host, shallow enough that host-fed
+# batches' device input buffers (B x pixels each) stay bounded in HBM
+EVAL_INFLIGHT = int(os.environ.get("FEDCOLA_EVAL_INFLIGHT", 8))
 
 
 def extract_features(cfg: MATConfig, spec: GroupSpec, params,
@@ -56,11 +63,27 @@ def extract_features(cfg: MATConfig, spec: GroupSpec, params,
     image_classes = []
     caption_classes = []
 
-    # dispatch every batch before the first readback: jax dispatch is
-    # async, so the device pipelines through the whole test set while the
-    # host is still queueing/gathering — a per-batch np.asarray would cap
-    # the pipeline at one program deep
-    pending = []
+    # keep several batches in flight before reading back: jax dispatch is
+    # async, so the device pipelines while the host queues/gathers — a
+    # per-batch np.asarray would cap the pipeline at one program deep,
+    # while unbounded dispatch would pin every host-fed batch's input
+    # buffers in HBM at once (the window bounds that)
+    from collections import deque
+    pending: "deque" = deque()
+
+    def drain_one():
+        fi, ft, idx = pending.popleft()
+        fi = np.asarray(fi[:len(idx)], np.float32)
+        ft = np.asarray(ft[:len(idx)], np.float32)
+        for j, i in enumerate(idx):
+            image_id = int(dataset.image_ids[i])
+            if image_id not in img_ids_seen:
+                img_ids_seen[image_id] = len(image_feature_rows)
+                image_feature_rows.append(fi[j])
+                image_classes.append(image_id)
+            cap_feats.append(ft[j])
+            caption_classes.append(image_id)
+
     for start in range(0, n, batch_size):
         idx = order[start:start + batch_size]
         pad = batch_size - len(idx)
@@ -77,18 +100,10 @@ def extract_features(cfg: MATConfig, spec: GroupSpec, params,
         fi, ft = (fwd(params, batch, resident) if resident is not None
                   else fwd(params, batch))
         pending.append((fi, ft, idx))
-
-    for fi, ft, idx in pending:
-        fi = np.asarray(fi[:len(idx)], np.float32)
-        ft = np.asarray(ft[:len(idx)], np.float32)
-        for j, i in enumerate(idx):
-            image_id = int(dataset.image_ids[i])
-            if image_id not in img_ids_seen:
-                img_ids_seen[image_id] = len(image_feature_rows)
-                image_feature_rows.append(fi[j])
-                image_classes.append(image_id)
-            cap_feats.append(ft[j])
-            caption_classes.append(image_id)
+        if len(pending) > EVAL_INFLIGHT:
+            drain_one()
+    while pending:
+        drain_one()
 
     image_features = np.stack(image_feature_rows)
     caption_features = np.stack(cap_feats)

@@ -36,7 +36,6 @@ from __future__ import annotations
 
 import functools
 import logging
-import os
 from collections import defaultdict
 from typing import Dict, List
 
@@ -126,17 +125,18 @@ class CreamflServer(FedAvgServer):
             return
         batches = self._pub_batch_list()
         total = sum(b["img"].nbytes + b["txt"].nbytes for b in batches)
-        budget = int(os.environ.get("FEDCOLA_RESIDENT_BUDGET",
-                                    6 * 1024 ** 3))
-        if total <= budget:
+        if total <= self.resident_budget_left():
             self._pub_batches_dev = [jax.device_put(b) for b in batches]
+            self._resident_bytes += total
+            self._pub_pinned_bytes = total
             yield from self._pub_batches_dev
             return
         if not getattr(self, "_pub_host_logged", False):
             self._pub_host_logged = True
             logger.info("[CREAMFL] public set stays host-fed per pass "
-                        "(%.2f GB > %.2f GB resident budget)",
-                        total / 1e9, budget / 1e9)
+                        "(%.2f GB > %.2f GB remaining of the resident "
+                        "budget)", total / 1e9,
+                        self.resident_budget_left() / 1e9)
         for b in batches:
             yield jax.device_put(b)
 
@@ -465,6 +465,10 @@ class CreamflServer(FedAvgServer):
             logger.warning("[CREAMFL] skipping distillation: missing %s "
                            "client features",
                            "img" if img_vec is None else "txt")
+        # same hard numerics guard as the FedAvg round (the default
+        # non-finite-loss path only warns; corruption must not reach the
+        # next round / checkpoints through this subclass either)
+        self._assert_global_finite()
 
         if self.round % cfg.lr_decay_step == 0:
             self.curr_lr *= cfg.lr_decay
@@ -474,5 +478,7 @@ class CreamflServer(FedAvgServer):
         # release the device-pinned public batches + global pub features
         # before checkpointing — they are training-only state
         self._pub_batches_dev = None
+        self._resident_bytes -= getattr(self, "_pub_pinned_bytes", 0)
+        self._pub_pinned_bytes = 0
         self.g_img = self.g_txt = None
         super().finalize()

@@ -27,7 +27,7 @@ import logging
 import os
 import random
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
 from typing import Dict, List, Optional
 
 import jax
@@ -88,6 +88,7 @@ class FedAvgServer:
                            "path)")
             cfg.use_pallas = False
         self._resident_cache: Dict[str, Optional[Dict]] = {}
+        self._resident_bytes = 0           # HBM pinned by all stagings
         self._aug_host_logged: set = set()
         self.mesh = self.mesh_plan.mesh
         if self.mesh is not None:
@@ -210,13 +211,11 @@ class FedAvgServer:
             arrays["txt"] = np.asarray(dset.texts, np.int32)
         if spec.modality != "img+txt":
             arrays["tgt"] = np.asarray(dset.targets, np.int32)
-        budget = int(os.environ.get("FEDCOLA_RESIDENT_BUDGET",
-                                    6 * 1024 ** 3))
         total = sum(a.nbytes for a in arrays.values())
-        if total > budget:
+        if total > self.resident_budget_left():
             logger.info("[DATA] %s stays host-fed (%.2f GB > %.2f GB "
-                        "resident budget)", cache_key, total / 1e9,
-                        budget / 1e9)
+                        "remaining of the resident budget)", cache_key,
+                        total / 1e9, self.resident_budget_left() / 1e9)
             self._resident_cache[cache_key] = None
             return None
         dev = {k: self.mesh_plan.replicate(jnp.asarray(v))
@@ -226,7 +225,17 @@ class FedAvgServer:
                     "host traffic is now index maps only", cache_key,
                     total / 1e6)
         self._resident_cache[cache_key] = dev
+        self._resident_bytes += total
         return dev
+
+    def resident_budget_left(self) -> int:
+        """Remaining HBM staging budget: ONE ledger across every consumer
+        (train residents, eval residents, CreamFL pub batches), so the
+        configured limit bounds total pinned device memory rather than
+        each staging in isolation."""
+        budget = int(os.environ.get("FEDCOLA_RESIDENT_BUDGET",
+                                    6 * 1024 ** 3))
+        return max(budget - self._resident_bytes, 0)
 
     def _resident_data(self, ds: str, spec) -> Optional[Dict]:
         """HBM-staged train arrays for a dataset's client group."""
@@ -509,11 +518,21 @@ class FedAvgServer:
                                                   or cfg.B)
                 params_dev = self.mesh_plan.replicate(params)
                 from fedcola_tpu.ops.losses import cross_entropy
+                from fedcola_tpu.eval.retrieval import EVAL_INFLIGHT
                 n = test.n
-                # dispatch all eval batches before the first readback (jax
-                # dispatch is async; a per-batch np.asarray would stall
-                # the device pipeline at one program deep)
-                pending = []
+                # windowed dispatch-ahead: keep the device pipelined
+                # behind the host without pinning every host-fed batch's
+                # input buffers in HBM at once
+                pending = deque()
+
+                def drain_one():
+                    dev, idx = pending.popleft()
+                    logits = np.asarray(dev)[:len(idx)]
+                    y = test.targets[idx]
+                    loss = float(cross_entropy(jnp.asarray(logits),
+                                               jnp.asarray(y)))
+                    mm.track(loss, logits, y)
+
                 for start in range(0, n, B):
                     idx = np.arange(start, min(start + B, n))
                     pad = B - len(idx)
@@ -531,12 +550,10 @@ class FedAvgServer:
                            if resident is not None
                            else fwd(params_dev, batch))
                     pending.append((dev, idx))
-                for dev, idx in pending:
-                    logits = np.asarray(dev)[:len(idx)]
-                    y = test.targets[idx]
-                    loss = float(cross_entropy(jnp.asarray(logits),
-                                               jnp.asarray(y)))
-                    mm.track(loss, logits, y)
+                    if len(pending) > EVAL_INFLIGHT:
+                        drain_one()
+                while pending:
+                    drain_one()
                 mm.aggregate(n)
                 result = mm.results
                 # clean keys (the reference has a precedence slip here,
@@ -588,7 +605,7 @@ class FedAvgServer:
         fedavgserver.py:252)."""
         from fedcola_tpu.ops.losses import clip_contrastive, cross_entropy
         from fedcola_tpu.parallel.client_update import build_local_eval
-        losses, sizes, per_client = [], [], {}
+        losses, sizes = [], []
         groups: Dict[str, List[int]] = defaultdict(list)
         for i in ids:
             shard = self.data.client_shards[i]
@@ -635,7 +652,6 @@ class FedAvgServer:
                 res = {"loss": float(ls[j] / max(ns[j], 1.0)),
                        "metrics": ({"acc1": float(cs[j] / max(ns[j], 1.0))}
                                    if spec.modality != "img+txt" else {})}
-                per_client[i] = res
                 losses.append(res["loss"])
                 sizes.append(len(tidxs[j]))
 
@@ -657,9 +673,25 @@ class FedAvgServer:
             mm = MetricManager(metrics if spec.modality != "img+txt" else [])
             B = self.mesh_plan.pad_eval_batch(self.cfg.B)
             tidx = shard.test_indices
-            # dispatch-all-then-read: queue every holdout batch before the
-            # first device sync (same pipelining as central eval)
-            pending = []
+            # windowed dispatch-ahead (same pipelining/backpressure
+            # trade-off as central eval)
+            from fedcola_tpu.eval.retrieval import EVAL_INFLIGHT
+            pending = deque()
+
+            def drain_one():
+                dev, sel = pending.popleft()
+                if spec.modality == "img+txt":
+                    fi, ft = dev
+                    loss = float(clip_contrastive(fi[:len(sel)],
+                                                  ft[:len(sel)]))
+                    mm.track(loss, count=len(sel))
+                else:
+                    logits = np.asarray(dev)[:len(sel)]
+                    y = shard.dataset.targets[sel]
+                    loss = float(cross_entropy(jnp.asarray(logits),
+                                               jnp.asarray(y)))
+                    mm.track(loss, logits, y)
+
             for s in range(0, len(tidx), B):
                 sel = tidx[s:s + B]
                 pad = B - len(sel)
@@ -679,20 +711,11 @@ class FedAvgServer:
                 dev = (fwd(params_dev, batch, resident)
                        if resident is not None else fwd(params_dev, batch))
                 pending.append((dev, sel))
-            for dev, sel in pending:
-                if spec.modality == "img+txt":
-                    fi, ft = dev
-                    loss = float(clip_contrastive(fi[:len(sel)],
-                                                  ft[:len(sel)]))
-                    mm.track(loss, count=len(sel))
-                else:
-                    logits = np.asarray(dev)[:len(sel)]
-                    y = shard.dataset.targets[sel]
-                    loss = float(cross_entropy(jnp.asarray(logits),
-                                               jnp.asarray(y)))
-                    mm.track(loss, logits, y)
+                if len(pending) > EVAL_INFLIGHT:
+                    drain_one()
+            while pending:
+                drain_one()
             mm.aggregate(len(tidx))
-            per_client[i] = mm.results
             losses.append(mm.results["loss"])
             sizes.append(len(tidx))
         if not losses:

@@ -124,9 +124,9 @@ def _take_images(data, idx):
     return jnp.take(data["img"], idx, axis=0)
 
 
-def resident_gather(spec: GroupSpec, data, idx, valid):
+def resident_gather(spec: GroupSpec, data, idx, valid=None):
     """Device-side batch assembly from HBM-resident dataset arrays."""
-    batch = {"valid": valid}
+    batch = {} if valid is None else {"valid": valid}
     if spec.modality == "img":
         batch["x"] = _take_images(data, idx)
         batch["y"] = jnp.take(data["tgt"], idx, axis=0)
@@ -304,16 +304,7 @@ def build_eval_forward(cfg: MATConfig, spec: GroupSpec,
     def fwd(params, batch, data=None):
         dtype = jnp.dtype(cfg.compute_dtype)
         if resident:
-            idx = batch["idx"]
-            if spec.modality == "img":
-                batch = {"x": _take_images(data, idx),
-                         "y": jnp.take(data["tgt"], idx, axis=0)}
-            elif spec.modality == "txt":
-                batch = {"x": jnp.take(data["txt"], idx, axis=0),
-                         "y": jnp.take(data["tgt"], idx, axis=0)}
-            else:
-                batch = {"x": _take_images(data, idx),
-                         "y": jnp.take(data["txt"], idx, axis=0)}
+            batch = resident_gather(spec, data, batch["idx"])
         ins = [None] * len(cfg.modalities)
         if spec.modality == "img":
             ins[spec.img_slot] = preprocess_images(batch["x"], spec, dtype)

@@ -113,22 +113,29 @@ def build(auto_layout: bool):
 
 def measure(auto_layout: bool, min_s: float = 20.0):
     import jax
+    import jax.numpy as jnp
     update, stacked, opt_state, chunk, rngs, lr, params, spc = build(
         auto_layout)
+
+    def sync(o):
+        # the axon relay cannot fetch custom-layout arrays; reduce to a
+        # default-layout scalar first (true host sync either way)
+        return np.asarray(jax.jit(jnp.sum)(o[0]))
+
     stacked, opt_state, out = update(stacked, opt_state, chunk, rngs, lr,
                                      params)
-    np.asarray(out[0])
+    sync(out)
     t0 = time.perf_counter()
     stacked, opt_state, out = update(stacked, opt_state, chunk, rngs, lr,
                                      params)
-    np.asarray(out[0])
+    sync(out)
     per = time.perf_counter() - t0
     reps = max(int(min_s / max(per, 1e-6)), 2)
     t0 = time.perf_counter()
     for _ in range(reps):
         stacked, opt_state, out = update(stacked, opt_state, chunk, rngs,
                                          lr, params)
-    np.asarray(out[0])
+    sync(out)
     dt = (time.perf_counter() - t0) / reps
     return spc / dt
 
