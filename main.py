@@ -56,6 +56,14 @@ def main(argv=None):
     from fedcola_tpu.utils import set_logger, set_seed
 
     cfg = parse_args(argv)
+    # persistent compile cache: the fully-unrolled production programs
+    # take minutes to compile cold; repeat runs on the same machine reuse
+    # them (config.update, not env — jax may already be imported)
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax-cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     if cfg.detect_anomaly:
         # op-level NaN tracing, the jax analog of the reference's
         # torch.autograd.set_detect_anomaly(True) (main.py:307); the
