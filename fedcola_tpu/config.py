@@ -198,6 +198,15 @@ class ExperimentConfig:
     # -- TPU-native knobs (new; not in the reference)
     mesh_shape: Optional[List[int]] = None   # e.g. [8] for a v5e-8 client axis
     mesh_axes: List[str] = field(default_factory=lambda: ["clients"])
+    # multi-host (DCN) scale-out: when set, main.py calls
+    # jax.distributed.initialize so jax.devices() spans every host's chips
+    # and the same --mesh_shape/--mesh_axes layout stretches over the pod
+    # slice (absent upstream — the reference is a single process; SURVEY.md
+    # §5 distributed-comm rebuild directive).  All three must be set
+    # together; single-host runs leave them unset.
+    dist_coordinator: Optional[str] = None   # "host0-addr:port"
+    dist_num_processes: Optional[int] = None
+    dist_process_id: Optional[int] = None
     use_pallas: bool = True                  # pallas flash-attention on TPU
     train_chunk_steps: int = 8               # steps scanned per device program
     param_dtype: str = "float32"
@@ -348,6 +357,9 @@ def _add_tpu_flags(p: argparse.ArgumentParser) -> None:
     add = p.add_argument
     add("--mesh_shape", type=int, nargs="+", default=None)
     add("--mesh_axes", type=str, nargs="+", default=["clients"])
+    add("--dist_coordinator", type=str, default=None)
+    add("--dist_num_processes", type=int, default=None)
+    add("--dist_process_id", type=int, default=None)
     add("--no_pallas", dest="use_pallas", action="store_false")
     add("--train_chunk_steps", type=int, default=8)
     add("--param_dtype", type=str, default="float32")
@@ -397,6 +409,13 @@ def check_args(cfg: ExperimentConfig) -> ExperimentConfig:
     known_criteria = {"CrossEntropyLoss", "BCEWithLogitsLoss",
                       "PainlessBCEWithLogitsLoss", "Seq2SeqLoss",
                       "ContrastiveLoss", "MCSoftContrastiveLoss", "SegLoss"}
+    dist = (cfg.dist_coordinator, cfg.dist_num_processes,
+            cfg.dist_process_id)
+    if any(v is not None for v in dist) and not all(v is not None
+                                                   for v in dist):
+        raise ValueError(
+            "--dist_coordinator/--dist_num_processes/--dist_process_id "
+            "must be set together (multi-host DCN initialization)")
     if cfg.use_model_tokenizer:
         # the reference gates this flag on legacy text-classification
         # models and asserts out otherwise (data.py:173-181:

@@ -56,10 +56,20 @@ def main(argv=None):
     from fedcola_tpu.utils import set_logger, set_seed
 
     cfg = parse_args(argv)
+    import jax
+    if cfg.dist_coordinator is not None:
+        # multi-host (DCN) scale-out: after this, jax.devices() spans
+        # every participating host's chips and MeshPlan builds one global
+        # mesh over them — the ICI/DCN collectives replace the host-side
+        # exchange entirely (SURVEY.md §5; absent upstream).  Every host
+        # runs this same driver with its own --dist_process_id.
+        jax.distributed.initialize(
+            coordinator_address=cfg.dist_coordinator,
+            num_processes=cfg.dist_num_processes,
+            process_id=cfg.dist_process_id)
     # persistent compile cache: the fully-unrolled production programs
     # take minutes to compile cold; repeat runs on the same machine reuse
     # them (config.update, not env — jax may already be imported)
-    import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax-cache"))

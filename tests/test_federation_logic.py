@@ -174,3 +174,17 @@ def test_use_model_tokenizer_rejected_loudly():
             exp_name="tok", datasets=["MedicalAbstracts", "MedicalAbstracts"],
             modalities=["txt", "txt"], use_model_tokenizer=True,
             model_name="mome_small_patch16"))
+
+
+def test_dist_flags_must_be_set_together():
+    """Multi-host DCN flags (main.py -> jax.distributed.initialize) are
+    all-or-nothing; partial settings fail loudly at check_args."""
+    cfg = parse_args(["--exp_name", "d", "--datasets", "MedicalAbstracts",
+                      "MedicalAbstracts", "--modalities", "txt",
+                      "--dist_coordinator", "10.0.0.1:1234",
+                      "--dist_num_processes", "2", "--dist_process_id", "0"])
+    assert cfg.dist_coordinator == "10.0.0.1:1234"
+    with pytest.raises(ValueError, match="together"):
+        check_args(ExperimentConfig(
+            exp_name="d", datasets=["MedicalAbstracts", "MedicalAbstracts"],
+            modalities=["txt"], dist_coordinator="10.0.0.1:1234"))
