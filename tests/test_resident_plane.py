@@ -174,3 +174,24 @@ def test_rotation_falls_back_to_host(tmp_path):
     assert "Coco" not in server._resident_cache
     loss = server.results[1]["clients_updated_summary"]["loss"]["avg"]
     assert np.isfinite(loss)
+
+
+def test_resident_budget_is_one_ledger(tmp_path, monkeypatch):
+    """FEDCOLA_RESIDENT_BUDGET bounds TOTAL pinned staging across all
+    consumers: once the train arrays consume most of it, the eval staging
+    must fall back to host feeding instead of re-checking the full budget
+    in isolation — and eval still works host-fed."""
+    server = FedAvgServer(_cfg(), _data(tmp_path))
+    spec = server._group_spec("Coco")
+    train = server._train_dataset("Coco")
+    train_bytes = (train._image_store.nbytes
+                   + np.asarray(train._image_row, np.int32).nbytes
+                   + np.asarray(train.texts, np.int32).nbytes)
+    monkeypatch.setenv("FEDCOLA_RESIDENT_BUDGET", str(train_bytes + 64))
+    assert server._resident_data("Coco", spec) is not None
+    assert server.resident_budget_left() <= 64
+    assert server._resident_eval_data("Coco", spec) is None  # over ledger
+    server.round = 1
+    server.update()
+    server.evaluate([])
+    assert "server_evaluated_Coco" in server.results[1]
