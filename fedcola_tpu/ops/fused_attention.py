@@ -96,14 +96,17 @@ def _make_fwd_kernel(H: int, IB: int):
     return kernel
 
 
-def _make_fwd_save_kernel(H: int, IB: int):
+def _make_fwd_save_kernel(H: int, IB: int, residual: bool = False):
     """Forward that additionally emits the softmax probabilities and the
     pre-projection head concat as outputs.  Saving (p, cat) lets the
     backward skip every score dot, the softmax, and every AV dot — the
     small-matmul pipeline drain that dominates attention backward time at
-    hd=64 — at the price of their HBM round-trip."""
-    def kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
-               bproj_ref, a_ref, p_ref, cat_ref):
+    hd=64 — at the price of their HBM round-trip.
+
+    ``residual=True`` folds the residual join + per-sample DropPath scale
+    into the kernel: a_out = x + s_i * attn_sublayer(x)."""
+    def kernel_impl(x_ref, s_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                    wproj_ref, bproj_ref, a_ref, p_ref, cat_ref):
         N, D = x_ref.shape[2], x_ref.shape[3]
         hd = D // H
         dtype = x_ref.dtype
@@ -131,21 +134,32 @@ def _make_fwd_save_kernel(H: int, IB: int):
                 a = jnp.dot(cat, wproj,
                             preferred_element_type=jnp.float32) \
                     + bproj_ref[0, 0].astype(jnp.float32)
+                if s_ref is not None:
+                    # s lives whole-array in SMEM (a [n, B] f32 vector is
+                    # too thin for a VMEM block spec); absolute index
+                    s = s_ref[pl.program_id(0), pl.program_id(1) * IB + i]
+                    a = x_ref[0, i].astype(jnp.float32) + s * a
                 a_ref[0, i] = a.astype(a_ref.dtype)
 
+    if residual:
+        def kernel(x_ref, s_ref, *refs):
+            kernel_impl(x_ref, s_ref, *refs)
+    else:
+        def kernel(x_ref, *refs):
+            kernel_impl(x_ref, None, *refs)
     return kernel
 
 
-def _make_bwd_save_kernel(H: int, IB: int):
+def _make_bwd_save_kernel(H: int, IB: int, residual: bool = False):
     """Backward fed with the saved (p, cat): recomputes only LN + the qkv
     projection (one full-efficiency dot), then runs straight into the
     gradient dots."""
-    def kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
-               p_ref, cat_ref, da_ref,
-               dx_ref, dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
-               dwproj_ref, dbproj_ref,
-               dlns_acc, dlnb_acc, dwqkv_acc, dbqkv_acc, dwproj_acc,
-               dbproj_acc, sems):
+    def kernel_impl(x_ref, s_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                    wproj_ref, p_ref, cat_ref, da_ref,
+                    dx_ref, dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
+                    dwproj_ref, dbproj_ref,
+                    dlns_acc, dlnb_acc, dwqkv_acc, dbqkv_acc, dwproj_acc,
+                    dbproj_acc, sems):
         c = pl.program_id(0)
         b = pl.program_id(1)
         n_b = pl.num_programs(1)
@@ -177,7 +191,12 @@ def _make_bwd_save_kernel(H: int, IB: int):
           lnouts = {i: _ln_fwd(x_ref[0, i], lns_ref[0, 0], lnb_ref[0, 0])
                     for i in group}
           hs = {i: lnouts[i][0].astype(dtype) for i in group}
-          das = {i: da_ref[0, i].astype(jnp.float32) for i in group}
+          # residual fold: branch gradient is s*do (s from whole-array
+          # SMEM at absolute [c, b*IB+i] — see the fwd kernel note)
+          das = {i: (da_ref[0, i].astype(jnp.float32)
+                     * s_ref[c, b * IB + i]
+                     if s_ref is not None
+                     else da_ref[0, i].astype(jnp.float32)) for i in group}
           da_cs = {i: das[i].astype(dtype) for i in group}
           cats = {i: cat_ref[0, i] for i in group}
           qkvs = {i: (jnp.dot(hs[i], wqkv,
@@ -243,6 +262,8 @@ def _make_bwd_save_kernel(H: int, IB: int):
               m1 = jnp.mean(dg, axis=-1, keepdims=True)
               m2 = jnp.mean(dg * xhat, axis=-1, keepdims=True)
               dx = inv * (dg - m1 - xhat * m2)
+              if s_ref is not None:  # + identity branch of the residual
+                  dx = dx + da_ref[0, i].astype(jnp.float32)
               dx_ref[0, i] = dx.astype(dx_ref.dtype)
               dlns_acc[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)
               dlnb_acc[...] += jnp.sum(dh, axis=0, keepdims=True)
@@ -260,6 +281,12 @@ def _make_bwd_save_kernel(H: int, IB: int):
                 dma.start()
                 dma.wait()
 
+    if residual:
+        def kernel(x_ref, s_ref, *refs):
+            kernel_impl(x_ref, s_ref, *refs)
+    else:
+        def kernel(x_ref, *refs):
+            kernel_impl(x_ref, None, *refs)
     return kernel
 
 
@@ -491,7 +518,7 @@ def _save_items_per_program(B: int, N: int, D: int, H: int,
     return best
 
 
-def _fwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj):
+def _fwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj, s=None):
     n, B, N, D = x.shape
     IB = _save_items_per_program(B, N, D, H, _FWD_VMEM_BUDGET)
     item = pl.BlockSpec((1, IB, N, D), lambda c, b: (c, b, 0, 0),
@@ -501,12 +528,21 @@ def _fwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj):
     per_c = lambda shape: pl.BlockSpec(
         (1,) + shape, lambda c, b: (c,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
+    # the [n, B] f32 scale vector rides whole-array in SMEM: a (1, IB)
+    # VMEM block would violate Mosaic's last-dim 128 rule for thin arrays
+    scale = pl.BlockSpec(memory_space=pltpu.SMEM)
+    residual = s is not None
+    in_specs = [item] + ([scale] if residual else []) + [
+        per_c((1, D)), per_c((1, D)), per_c((D, 3 * D)),
+        per_c((1, 3 * D)), per_c((D, D)), per_c((1, D))]
+    args = (x,) + ((s,) if residual else ()) + (lns, lnb, wqkv, bqkv,
+                                                wproj, bproj)
     return pl.pallas_call(
-        _make_fwd_save_kernel(H, IB),
-        name="attn_sublayer_fwd_save",
+        _make_fwd_save_kernel(H, IB, residual),
+        name="attn_sublayer_res_fwd_save" if residual
+        else "attn_sublayer_fwd_save",
         grid=(n, B // IB),
-        in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, 3 * D)),
-                  per_c((1, 3 * D)), per_c((D, D)), per_c((1, D))],
+        in_specs=in_specs,
         out_specs=(item, p_item, item),
         out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
                    jax.ShapeDtypeStruct((n, B, H, N, N), x.dtype),
@@ -518,10 +554,10 @@ def _fwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj):
             transcendentals=n * B * H * N * N,
         ),
         interpret=_interpret(),
-    )(x, lns, lnb, wqkv, bqkv, wproj, bproj)
+    )(*args)
 
 
-def _bwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, p, cat, da):
+def _bwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, p, cat, da, s=None):
     n, B, N, D = x.shape
     IB = _save_items_per_program(B, N, D, H, _BWD_VMEM_BUDGET)
     item = pl.BlockSpec((1, IB, N, D), lambda c, b: (c, b, 0, 0),
@@ -533,12 +569,19 @@ def _bwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, p, cat, da):
         memory_space=pltpu.VMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     f32 = jnp.float32
+    scale = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole-array, see fwd
+    residual = s is not None
+    in_specs = [item] + ([scale] if residual else []) + [
+        per_c((1, D)), per_c((1, D)), per_c((D, 3 * D)),
+        per_c((1, 3 * D)), per_c((D, D)), p_item, item, item]
+    args = (x,) + ((s,) if residual else ()) + (lns, lnb, wqkv, bqkv,
+                                                wproj, p, cat, da)
     return pl.pallas_call(
-        _make_bwd_save_kernel(H, IB),
-        name="attn_sublayer_bwd_save",
+        _make_bwd_save_kernel(H, IB, residual),
+        name="attn_sublayer_res_bwd_save" if residual
+        else "attn_sublayer_bwd_save",
         grid=(n, B // IB),
-        in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, 3 * D)),
-                  per_c((1, 3 * D)), per_c((D, D)), p_item, item, item],
+        in_specs=in_specs,
         out_specs=(item, any_spec, any_spec, any_spec, any_spec, any_spec,
                    any_spec),
         scratch_shapes=[pltpu.VMEM((1, D), f32), pltpu.VMEM((1, D), f32),
@@ -559,7 +602,7 @@ def _bwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, p, cat, da):
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(x, lns, lnb, wqkv, bqkv, wproj, p, cat, da)
+    )(*args)
 
 
 # ------------------------------------------------ custom_vmap + custom_vjp --
@@ -659,6 +702,78 @@ def make_fused_attention_sublayer(num_heads: int,
                 bqkv.reshape(1, -1), wproj, da)
         dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj = grads
         return (dx,
+                dlns.reshape(lns.shape).astype(lns.dtype),
+                dlnb.reshape(lnb.shape).astype(lnb.dtype),
+                dwqkv.astype(wqkv.dtype),
+                dbqkv.reshape(bqkv.shape).astype(bqkv.dtype),
+                dwproj.astype(wproj.dtype),
+                dbproj.reshape(bproj.shape).astype(bproj.dtype))
+
+    sublayer.defvjp(vjp_fwd, vjp_bwd)
+    return sublayer
+
+
+@functools.lru_cache(maxsize=8)
+def make_fused_attention_residual_sublayer(num_heads: int):
+    """Residual-folded save-residuals variant:
+    fn(x, s, lns, lnb, wqkv, bqkv, wproj, bproj) -> x + s*attn_sublayer(x),
+    where s is a per-sample [B] DropPath scale (ones when stochastic depth
+    is off).  The residual join and DropPath select run inside the
+    kernels, removing a full [B, N, D] XLA read-modify-write pass per
+    sublayer per direction; s receives a zero gradient (it is an RNG
+    draw, not a parameter)."""
+    H = num_heads
+
+    @custom_vmap
+    def fwd_cv(x, s, lns, lnb, wqkv, bqkv, wproj, bproj):
+        outs = _fwd_save_call(H, x[None], lns[None], lnb[None], wqkv[None],
+                              bqkv[None], wproj[None], bproj[None],
+                              s=s[None])
+        return tuple(o[0] for o in outs)
+
+    @fwd_cv.def_vmap
+    def _fwd_rule(axis_size, in_batched, *args):
+        args = [_batch_arg(a, b, axis_size)
+                for a, b in zip(args, in_batched)]
+        x, s, lns, lnb, wqkv, bqkv, wproj, bproj = args
+        return _fwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj,
+                              s=s), (True,) * 3
+
+    @custom_vmap
+    def bwd_cv(x, s, lns, lnb, wqkv, bqkv, wproj, p, cat, da):
+        outs = _bwd_save_call(H, x[None], lns[None], lnb[None], wqkv[None],
+                              bqkv[None], wproj[None], p[None], cat[None],
+                              da[None], s=s[None])
+        return tuple(o[0] for o in outs)
+
+    @bwd_cv.def_vmap
+    def _bwd_rule(axis_size, in_batched, *args):
+        args = [_batch_arg(a, b, axis_size)
+                for a, b in zip(args, in_batched)]
+        x, s, lns, lnb, wqkv, bqkv, wproj, p, cat, da = args
+        return _bwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, p, cat,
+                              da, s=s), (True,) * 7
+
+    @jax.custom_vjp
+    def sublayer(x, s, lns, lnb, wqkv, bqkv, wproj, bproj):
+        out, _, _ = fwd_cv(x, s, lns.reshape(1, -1), lnb.reshape(1, -1),
+                           wqkv, bqkv.reshape(1, -1), wproj,
+                           bproj.reshape(1, -1))
+        return out
+
+    def vjp_fwd(x, s, lns, lnb, wqkv, bqkv, wproj, bproj):
+        out, p, cat = fwd_cv(x, s, lns.reshape(1, -1), lnb.reshape(1, -1),
+                             wqkv, bqkv.reshape(1, -1), wproj,
+                             bproj.reshape(1, -1))
+        return out, (x, s, lns, lnb, wqkv, bqkv, wproj, bproj, p, cat)
+
+    def vjp_bwd(res, da):
+        x, s, lns, lnb, wqkv, bqkv, wproj, bproj, p, cat = res
+        dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj = bwd_cv(
+            x, s, lns.reshape(1, -1), lnb.reshape(1, -1), wqkv,
+            bqkv.reshape(1, -1), wproj, p, cat, da)
+        return (dx,
+                jnp.zeros_like(s),
                 dlns.reshape(lns.shape).astype(lns.dtype),
                 dlnb.reshape(lnb.shape).astype(lnb.dtype),
                 dwqkv.astype(wqkv.dtype),

@@ -517,13 +517,18 @@ def _mlp_items_per_program(B: int, N: int, Hd: int, budget: int) -> int:
 _MLP_VMEM_BUDGET = int(os.environ.get("FEDCOLA_MLP_VMEM", 8 * 1024 * 1024))
 
 
-def _make_ln_item_fwd_kernel(IB: int):
+def _make_ln_item_fwd_kernel(IB: int, residual: bool = False):
     """Phase-separated across items: all LNs (VPU), all fc1 dots (MXU),
     all GELUs (VPU), all fc2 dots (MXU) — each phase's ops are
     independent, so the scheduler can overlap one item's GELU with the
-    next item's matmul instead of serialising the per-item chain."""
-    def kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-               o_ref):
+    next item's matmul instead of serialising the per-item chain.
+
+    ``residual=True`` folds the residual join into the kernel:
+    out = x + s_i * mlp(LN(x)) with a per-sample DropPath scale s (ones
+    when stochastic depth is off) — removes the separate XLA
+    residual-add pass over [B, N, D] per sublayer."""
+    def body(x_ref, s_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+             b2_ref, o_ref):
         dt = x_ref.dtype
         w1 = w1_ref[0].astype(dt)
         w2 = w2_ref[0].astype(dt)
@@ -535,16 +540,33 @@ def _make_ln_item_fwd_kernel(IB: int):
         for i in range(IB):
             o = jnp.dot(gs[i], w2, preferred_element_type=jnp.float32) \
                 + b2_ref[0].astype(jnp.float32)
+            if s_ref is not None:
+                # s lives whole-array in SMEM (thin [n, B] f32 vector);
+                # absolute index via the program ids
+                s = s_ref[pl.program_id(0), pl.program_id(1) * IB + i]
+                o = x_ref[0, i].astype(jnp.float32) + s * o
             o_ref[0, i] = o.astype(o_ref.dtype)
+
+    if residual:
+        def kernel(x_ref, s_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                   b2_ref, o_ref):
+            body(x_ref, s_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                 b2_ref, o_ref)
+    else:
+        def kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                   b2_ref, o_ref):
+            body(x_ref, None, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                 b2_ref, o_ref)
     return kernel
 
 
-def _make_ln_item_bwd_kernel(IB: int):
-    def kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, do_ref,
-               dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
-               db2_ref,
-               dlns_acc, dlnb_acc, dw1_acc, db1_acc, dw2_acc, db2_acc,
-               sems):
+def _make_ln_item_bwd_kernel(IB: int, residual: bool = False):
+    def kernel_impl(x_ref, s_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                    do_ref,
+                    dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
+                    db2_ref,
+                    dlns_acc, dlnb_acc, dw1_acc, db1_acc, dw2_acc, db2_acc,
+                    sems):
         c = pl.program_id(0)
         b = pl.program_id(1)
         n_b = pl.num_programs(1)
@@ -572,7 +594,13 @@ def _make_ln_item_bwd_kernel(IB: int):
             lnouts = {i: _ln_rows(x_ref[0, i], lns_ref[0, 0], lnb_ref[0, 0])
                       for i in group}
             hcs = {i: lnouts[i][0].astype(dt) for i in group}
-            dos = {i: do_ref[0, i].astype(dt) for i in group}
+            # residual fold: the sublayer output was x + s*f(x), so the
+            # branch gradient is s*do (s from whole-array SMEM at
+            # absolute [c, b*IB+i]; f32 scale, then compute dtype)
+            dos = {i: ((do_ref[0, i].astype(jnp.float32)
+                        * s_ref[c, b * IB + i]).astype(dt)
+                       if s_ref is not None
+                       else do_ref[0, i].astype(dt)) for i in group}
             pres = {i: jnp.dot(hcs[i], w1,
                                preferred_element_type=jnp.float32)
                     + b1_ref[0].astype(jnp.float32) for i in group}
@@ -604,8 +632,10 @@ def _make_ln_item_bwd_kernel(IB: int):
                 dg = dhnorm * lns
                 m1 = jnp.mean(dg, axis=-1, keepdims=True)
                 m2 = jnp.mean(dg * xhat, axis=-1, keepdims=True)
-                dx_ref[0, i] = (inv * (dg - m1 - xhat * m2)
-                                ).astype(dx_ref.dtype)
+                dx = inv * (dg - m1 - xhat * m2)
+                if s_ref is not None:   # + identity branch of the residual
+                    dx = dx + do_ref[0, i].astype(jnp.float32)
+                dx_ref[0, i] = dx.astype(dx_ref.dtype)
                 dlns_acc[...] += jnp.sum(dhnorm * xhat, axis=0,
                                          keepdims=True)
                 dlnb_acc[...] += jnp.sum(dhnorm, axis=0, keepdims=True)
@@ -622,10 +652,17 @@ def _make_ln_item_bwd_kernel(IB: int):
                 dma = pltpu.make_async_copy(acc, ref.at[c], sems.at[j])
                 dma.start()
                 dma.wait()
+
+    if residual:
+        def kernel(x_ref, s_ref, *refs):
+            kernel_impl(x_ref, s_ref, *refs)
+    else:
+        def kernel(x_ref, *refs):
+            kernel_impl(x_ref, None, *refs)
     return kernel
 
 
-def _ln_item_fwd_call(x, lns, lnb, w1, b1, w2, b2):
+def _ln_item_fwd_call(x, lns, lnb, w1, b1, w2, b2, s=None):
     n, B, N, D = x.shape
     Hd = w1.shape[-1]
     IB = _mlp_items_per_program(B, N, Hd, _MLP_VMEM_BUDGET)
@@ -634,12 +671,17 @@ def _ln_item_fwd_call(x, lns, lnb, w1, b1, w2, b2):
     per_c = lambda shape: pl.BlockSpec((1,) + shape,
                                        lambda c, b: (c,) + (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
+    scale = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole-array [n, B]
+    residual = s is not None
+    in_specs = [item] + ([scale] if residual else []) + [
+        per_c((1, D)), per_c((1, D)), per_c((D, Hd)),
+        per_c((1, Hd)), per_c((Hd, D)), per_c((1, D))]
+    args = (x,) + ((s,) if residual else ()) + (lns, lnb, w1, b1, w2, b2)
     return pl.pallas_call(
-        _make_ln_item_fwd_kernel(IB),
-        name="mlp_ln_fwd_items",
+        _make_ln_item_fwd_kernel(IB, residual),
+        name="mlp_ln_res_fwd_items" if residual else "mlp_ln_fwd_items",
         grid=(n, B // IB),
-        in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, Hd)),
-                  per_c((1, Hd)), per_c((Hd, D)), per_c((1, D))],
+        in_specs=in_specs,
         out_specs=item,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -649,10 +691,10 @@ def _ln_item_fwd_call(x, lns, lnb, w1, b1, w2, b2):
             transcendentals=n * B * N * Hd,
         ),
         interpret=_interpret(),
-    )(x, lns, lnb, w1, b1, w2, b2)
+    )(*args)
 
 
-def _ln_item_bwd_call(x, lns, lnb, w1, b1, w2, do):
+def _ln_item_bwd_call(x, lns, lnb, w1, b1, w2, do, s=None):
     n, B, N, D = x.shape
     Hd = w1.shape[-1]
     IB = _mlp_items_per_program(B, N, Hd, _MLP_VMEM_BUDGET)
@@ -661,14 +703,19 @@ def _ln_item_bwd_call(x, lns, lnb, w1, b1, w2, do):
     per_c = lambda shape: pl.BlockSpec((1,) + shape,
                                        lambda c, b: (c,) + (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
+    scale = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole-array [n, B]
     anys = pl.BlockSpec(memory_space=pl.ANY)
     f32 = jnp.float32
+    residual = s is not None
+    in_specs = [item] + ([scale] if residual else []) + [
+        per_c((1, D)), per_c((1, D)), per_c((D, Hd)),
+        per_c((1, Hd)), per_c((Hd, D)), item]
+    args = (x,) + ((s,) if residual else ()) + (lns, lnb, w1, b1, w2, do)
     return pl.pallas_call(
-        _make_ln_item_bwd_kernel(IB),
-        name="mlp_ln_bwd_items",
+        _make_ln_item_bwd_kernel(IB, residual),
+        name="mlp_ln_res_bwd_items" if residual else "mlp_ln_bwd_items",
         grid=(n, B // IB),
-        in_specs=[item, per_c((1, D)), per_c((1, D)), per_c((D, Hd)),
-                  per_c((1, Hd)), per_c((Hd, D)), item],
+        in_specs=in_specs,
         out_specs=(item,) + (anys,) * 6,
         scratch_shapes=[pltpu.VMEM((1, D), f32), pltpu.VMEM((1, D), f32),
                         pltpu.VMEM((D, Hd), f32), pltpu.VMEM((1, Hd), f32),
@@ -687,7 +734,7 @@ def _ln_item_bwd_call(x, lns, lnb, w1, b1, w2, do):
             transcendentals=2 * n * B * N * Hd,
         ),
         interpret=_interpret(),
-    )(x, lns, lnb, w1, b1, w2, do)
+    )(*args)
 
 
 @custom_vmap
@@ -743,3 +790,70 @@ def _ln_item_vjp_bwd(res, do):
 
 
 fused_mlp_sublayer_items.defvjp(_ln_item_vjp_fwd, _ln_item_vjp_bwd)
+
+
+# ------------------------------------- residual-folded item-mode sublayer --
+# out = x + s * mlp(LN(x)) with a per-sample DropPath scale s [B] (ones
+# when stochastic depth is off): the residual join and the DropPath
+# select run inside the kernel, removing one full [B, N, D] XLA
+# read-modify-write pass per sublayer per direction.
+
+@custom_vmap
+def _ln_item_res_fwd_cv(x, s, lns, lnb, w1, b1, w2, b2):
+    return _ln_item_fwd_call(x[None], lns[None], lnb[None], w1[None],
+                             b1[None], w2[None], b2[None], s=s[None])[0]
+
+
+@_ln_item_res_fwd_cv.def_vmap
+def _ln_item_res_fwd_rule(axis_size, in_batched, *args):
+    args = [_batch_arg(a, b, axis_size) for a, b in zip(args, in_batched)]
+    x, s, lns, lnb, w1, b1, w2, b2 = args
+    return _ln_item_fwd_call(x, lns, lnb, w1, b1, w2, b2, s=s), True
+
+
+@custom_vmap
+def _ln_item_res_bwd_cv(x, s, lns, lnb, w1, b1, w2, do):
+    outs = _ln_item_bwd_call(x[None], lns[None], lnb[None], w1[None],
+                             b1[None], w2[None], do[None], s=s[None])
+    return tuple(o[0] for o in outs)
+
+
+@_ln_item_res_bwd_cv.def_vmap
+def _ln_item_res_bwd_rule(axis_size, in_batched, *args):
+    args = [_batch_arg(a, b, axis_size) for a, b in zip(args, in_batched)]
+    x, s, lns, lnb, w1, b1, w2, do = args
+    return _ln_item_bwd_call(x, lns, lnb, w1, b1, w2, do, s=s), (True,) * 7
+
+
+@jax.custom_vjp
+def fused_mlp_residual_sublayer_items(x, s, lns, lnb, w1, b1, w2, b2):
+    """x + s * MLP(LN(x)) over [B, N, D] items; s: [B] DropPath scales."""
+    return _ln_item_res_fwd_cv(x, s, lns.reshape(1, -1),
+                               lnb.reshape(1, -1), w1, b1.reshape(1, -1),
+                               w2, b2.reshape(1, -1))
+
+
+def _ln_item_res_vjp_fwd(x, s, lns, lnb, w1, b1, w2, b2):
+    out = _ln_item_res_fwd_cv(x, s, lns.reshape(1, -1),
+                              lnb.reshape(1, -1), w1, b1.reshape(1, -1),
+                              w2, b2.reshape(1, -1))
+    return out, (x, s, lns, lnb, w1, b1, w2, b2)
+
+
+def _ln_item_res_vjp_bwd(res, do):
+    x, s, lns, lnb, w1, b1, w2, b2 = res
+    dx, dlns, dlnb, dw1, db1, dw2, db2 = _ln_item_res_bwd_cv(
+        x, s, lns.reshape(1, -1), lnb.reshape(1, -1), w1,
+        b1.reshape(1, -1), w2, do)
+    return (dx,
+            jnp.zeros_like(s),   # DropPath scales are RNG draws, not params
+            dlns.reshape(lns.shape).astype(lns.dtype),
+            dlnb.reshape(lnb.shape).astype(lnb.dtype),
+            dw1.astype(w1.dtype),
+            db1.reshape(b1.shape).astype(b1.dtype),
+            dw2.astype(w2.dtype),
+            db2.reshape(b2.shape).astype(b2.dtype))
+
+
+fused_mlp_residual_sublayer_items.defvjp(_ln_item_res_vjp_fwd,
+                                         _ln_item_res_vjp_bwd)

@@ -146,3 +146,50 @@ def test_save_residuals_bf16_grad_tolerance_on_tpu():
         denom = np.maximum(np.abs(b).max(), 1e-3)
         rel = np.abs(a - b).max() / denom
         assert rel < 2e-2, f"{nm}: max rel diff {rel:.4f} exceeds bf16 tolerance"
+
+
+def test_residual_folded_sublayer_matches_plain():
+    """Residual-folded variant: fn(x, s, ...) == x + s*attn(x) on forward
+    and every gradient (dx carries the identity branch; ds is zero),
+    unbatched and under the client vmap."""
+    from fedcola_tpu.ops.fused_attention import \
+        make_fused_attention_residual_sublayer
+
+    B = 4
+    args = _args(seed=5, B=B)
+    s = jnp.asarray(np.random.RandomState(7).choice(
+        [0.0, 1.0 / 0.9], size=B), jnp.float32)   # realistic DropPath draws
+    fn = make_fused_attention_residual_sublayer(H)
+
+    def plain_res(x, s, *w):
+        return x + s[:, None, None] * _plain(x, *w)
+
+    out = fn(args[0], s, *args[1:])
+    ref = plain_res(args[0], s, *args[1:])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    do = jnp.asarray(np.random.RandomState(9).randn(B, N, D), jnp.float32)
+    g = jax.grad(lambda x, s, *w: jnp.sum(fn(x, s, *w) * do),
+                 argnums=tuple(range(8)))(args[0], s, *args[1:])
+    gr = jax.grad(lambda x, s, *w: jnp.sum(plain_res(x, s, *w) * do),
+                  argnums=(0, 2, 3, 4, 5, 6, 7))(args[0], s, *args[1:])
+    names = ["dx", "dlns", "dlnb", "dwqkv", "dbqkv", "dwproj", "dbproj"]
+    np.testing.assert_allclose(np.asarray(g[1]), 0.0)   # ds: RNG draw
+    for a, b, nm in zip((g[0],) + g[2:], gr, names):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5, err_msg=nm)
+
+    # vmapped over a 2-client axis (the production path: clients mesh axis)
+    vargs = tuple(jnp.stack([a, a * 1.01]) for a in args)
+    vs = jnp.stack([s, s[::-1]])
+    vdo = jnp.stack([do, do * 0.5])
+    gv = jax.grad(
+        lambda x, s, *w: jnp.sum(jax.vmap(fn)(x, s, *w) * vdo),
+        argnums=(0, 2, 4))(vargs[0], vs, *vargs[1:])
+    gvr = jax.grad(
+        lambda x, s, *w: jnp.sum(jax.vmap(plain_res)(x, s, *w) * vdo),
+        argnums=(0, 2, 4))(vargs[0], vs, *vargs[1:])
+    for a, b, nm in zip(gv, gvr, ["dx", "dlns", "dwqkv"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4, err_msg=nm)

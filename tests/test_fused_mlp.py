@@ -140,3 +140,64 @@ def test_item_mode_sublayer_matches_rows_mode():
     for a, b in zip(gr, gi):
         np.testing.assert_allclose(np.asarray(a).reshape(np.asarray(b).shape),
                                    np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_residual_folded_items_sublayer_matches_plain():
+    """fused_mlp_residual_sublayer_items: x + s*MLP(LN(x)) on forward and
+    every gradient (dx carries the identity branch; ds is zero),
+    unbatched and under the client vmap."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fedcola_tpu.ops.fused_mlp import fused_mlp_residual_sublayer_items
+
+    rng = np.random.RandomState(11)
+    B, N, D, Hd = 4, 12, 128, 256
+    x = jnp.asarray(rng.randn(B, N, D), jnp.float32)
+    s = jnp.asarray(rng.choice([0.0, 1.0 / 0.9], size=B), jnp.float32)
+    lns = jnp.asarray(rng.rand(D) + 0.5, jnp.float32)
+    lnb = jnp.asarray(rng.randn(D) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.randn(D, Hd) / np.sqrt(D), jnp.float32)
+    b1 = jnp.asarray(rng.randn(Hd) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.randn(Hd, D) / np.sqrt(Hd), jnp.float32)
+    b2 = jnp.asarray(rng.randn(D) * 0.01, jnp.float32)
+
+    def plain(x, s, lns, lnb, w1, b1, w2, b2):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+        h = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * lns + lnb
+        h = jax.nn.gelu(h @ w1 + b1, approximate=False)
+        return x + s[:, None, None] * (h @ w2 + b2)
+
+    args = (x, s, lns, lnb, w1, b1, w2, b2)
+    out = fused_mlp_residual_sublayer_items(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(plain(*args)),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss_f(*a):
+        return jnp.sum(jnp.square(fused_mlp_residual_sublayer_items(*a)))
+
+    def loss_p(*a):
+        return jnp.sum(jnp.square(plain(*a)))
+
+    gf = jax.grad(loss_f, argnums=tuple(range(8)))(*args)
+    gp = jax.grad(loss_p, argnums=(0, 2, 3, 4, 5, 6, 7))(*args)
+    np.testing.assert_allclose(np.asarray(gf[1]), 0.0)   # ds: RNG draw
+    names = ["dx", "dlns", "dlnb", "dw1", "db1", "dw2", "db2"]
+    for a, b, nm in zip((gf[0],) + gf[2:], gp, names):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=nm)
+
+    # vmapped over a 2-client axis
+    vx = jnp.stack([x, x * 1.01])
+    vs = jnp.stack([s, s[::-1]])
+    vw = tuple(jnp.stack([w, w * 0.99]) for w in (lns, lnb, w1, b1, w2, b2))
+    gv = jax.grad(lambda *a: jnp.sum(jnp.square(
+        jax.vmap(fused_mlp_residual_sublayer_items)(*a))),
+        argnums=(0, 4))(vx, vs, *vw)
+    gvr = jax.grad(lambda *a: jnp.sum(jnp.square(jax.vmap(plain)(*a))),
+                   argnums=(0, 4))(vx, vs, *vw)
+    for a, b, nm in zip(gv, gvr, ["dx", "dw1"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=nm)

@@ -237,3 +237,83 @@ def test_pallas_kernels_under_sharded_clients_mesh():
     for a, b in zip(mgrads, mgref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_residual_folded_kernels_under_sharded_clients_mesh():
+    """Same composition smoke for the residual-folded variants (the
+    production 'kernel'-policy path folds the residual join + DropPath
+    scale into the kernels): forward AND backward under a sharded
+    clients axis must match plain x + s*f(x) math per client."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from fedcola_tpu.ops.fused_attention import \
+        make_fused_attention_residual_sublayer
+    from fedcola_tpu.ops.fused_mlp import fused_mlp_residual_sublayer_items
+
+    C, B, N, D, H = 4, 2, 12, 16, 2
+    hd = D // H
+    rng = np.random.RandomState(3)
+
+    def r(*s):
+        return jnp.asarray(rng.randn(*s) * 0.2, jnp.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("clients",))
+    sh = NamedSharding(mesh, P("clients"))
+    s = jnp.asarray(rng.choice([0.0, 1.0 / 0.9], size=(C, B)), jnp.float32)
+
+    # --- residual attention ---
+    args = (r(C, B, N, D), s, r(C, D) + 1, r(C, D), r(C, D, 3 * D),
+            r(C, 3 * D), r(C, D, D), r(C, D))
+    sharded = tuple(jax.device_put(a, sh) for a in args)
+    attn = jax.vmap(make_fused_attention_residual_sublayer(H))
+
+    def plain(x, s, lns, lnb, wqkv, bqkv, wproj, bproj):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+        h = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * lns + lnb
+        qkv = (h @ wqkv + bqkv).reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * hd ** -0.5, qkv[1], qkv[2]
+        p = jax.nn.softmax(jnp.einsum("bhqd,bhkd->bhqk", q, k), axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v).transpose(0, 2, 1, 3)
+        return x + s[:, None, None] * (o.reshape(B, N, D) @ wproj + bproj)
+
+    out = jax.jit(attn)(*sharded)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(jax.vmap(plain)(*args)),
+                               rtol=2e-4, atol=2e-5)
+    g = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.square(attn(*a))),
+                         argnums=(0, 4, 6)))(*sharded)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.square(jax.vmap(plain)(*a))),
+                  argnums=(0, 4, 6))(*args)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+    # --- residual MLP (items mode) ---
+    HID = 4 * D
+    margs = (r(C, B, N, D), s, r(C, D) + 1, r(C, D), r(C, D, HID),
+             r(C, HID), r(C, HID, D), r(C, D))
+    msharded = tuple(jax.device_put(a, sh) for a in margs)
+    mlp = jax.vmap(fused_mlp_residual_sublayer_items)
+
+    def mplain(x, s, lns, lnb, w1, b1, w2, b2):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+        h = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * lns + lnb
+        h = jax.nn.gelu(h @ w1 + b1, approximate=False)
+        return x + s[:, None, None] * (h @ w2 + b2)
+
+    mout = jax.jit(mlp)(*msharded)
+    np.testing.assert_allclose(np.asarray(mout),
+                               np.asarray(jax.vmap(mplain)(*margs)),
+                               rtol=2e-4, atol=2e-5)
+    mg = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.square(mlp(*a))),
+                          argnums=(0, 4, 6)))(*msharded)
+    mgr = jax.grad(lambda *a: jnp.sum(jnp.square(jax.vmap(mplain)(*a))),
+                   argnums=(0, 4, 6))(*margs)
+    for a, b in zip(mg, mgr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)

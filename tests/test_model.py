@@ -235,3 +235,29 @@ def test_init_weights_variants():
 
     with pytest.raises(NotImplementedError):
         init_weights(params, "bogus", 1.0, jax.random.PRNGKey(6))
+
+
+def test_kernel_policy_droppath_mask_parity():
+    """Switching remat_policy to 'kernel' must not change a training
+    trajectory: the residual-folded path draws its per-sample DropPath
+    scale as bernoulli(key, keep, (B,)) while the XLA path draws
+    bernoulli(key, keep, (B, 1, 1)) and selects — same key, same flat
+    element count, so the masks (and hence the trained weights) are
+    bit-identical across the policy switch."""
+    import jax
+    import jax.numpy as jnp
+    from fedcola_tpu.models.mat import _drop_path
+
+    key = jax.random.PRNGKey(42)
+    B, rate = 16, jnp.float32(0.1)   # rate is traced in production
+    keep = 1.0 - rate
+    flat = jax.random.bernoulli(key, keep, (B,))
+    shaped = jax.random.bernoulli(key, keep, (B, 1, 1))
+    np.testing.assert_array_equal(np.asarray(flat),
+                                  np.asarray(shaped).reshape(B))
+    # and the folded arithmetic agrees with _drop_path's select
+    f = jnp.asarray(np.random.RandomState(0).randn(B, 5, 8), jnp.float32)
+    s = flat.astype(jnp.float32) / keep
+    np.testing.assert_allclose(
+        np.asarray(s[:, None, None] * f),
+        np.asarray(_drop_path(f, rate, key, True)), rtol=1e-6)
