@@ -193,3 +193,47 @@ def test_residual_folded_sublayer_matches_plain():
     for a, b, nm in zip(gv, gvr, ["dx", "dlns", "dwqkv"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4, err_msg=nm)
+
+
+@pytest.mark.tpu
+def test_residual_folded_bitexact_vs_external_fold_on_tpu():
+    """Real-chip equivalence for the production training path: the
+    residual-folded kernels (residual join + DropPath scale in SMEM,
+    computed in-kernel) must match the non-residual kernels plus an
+    external ``x + s*f(x)`` fold BIT-EXACTLY — both run the same dots in
+    the same order; only where the join happens differs.  Guards the
+    SMEM absolute-indexing path, which CPU interpret mode does not
+    exercise faithfully (Mosaic block-shape rules differ).
+
+    Run with:  FEDCOLA_TEST_TPU=1 python -m pytest tests/ -m tpu
+    """
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real TPU (FEDCOLA_TEST_TPU=1)")
+    from fedcola_tpu.ops.fused_attention import \
+        make_fused_attention_residual_sublayer
+
+    Bt, Nt, Dt, Ht = 8, 128, 128, 2
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(Bt, Nt, Dt) * 0.3, jnp.float32)
+    s = jnp.asarray(rng.choice([0.0, 1.0 / 0.9], size=Bt), jnp.float32)
+    w = (jnp.asarray(rng.rand(Dt) + 0.5, jnp.float32),
+         jnp.asarray(rng.randn(Dt) * 0.1, jnp.float32),
+         jnp.asarray(rng.randn(Dt, 3 * Dt) / np.sqrt(Dt), jnp.float32),
+         jnp.asarray(rng.randn(3 * Dt) * 0.01, jnp.float32),
+         jnp.asarray(rng.randn(Dt, Dt) / np.sqrt(Dt), jnp.float32),
+         jnp.asarray(rng.randn(Dt) * 0.01, jnp.float32))
+    do = jnp.asarray(rng.randn(Bt, Nt, Dt), jnp.float32)
+
+    base = make_fused_attention_sublayer(Ht, save_residuals=True)
+    res = make_fused_attention_residual_sublayer(Ht)
+    g0 = jax.grad(
+        lambda x, *w: jnp.sum((x + s[:, None, None] * base(x, *w)) * do),
+        argnums=(0, 3, 5, 6))(x, *w)
+    g1 = jax.grad(lambda x, *w: jnp.sum(res(x, s, *w) * do),
+                  argnums=(0, 3, 5, 6))(x, *w)
+    np.testing.assert_array_equal(
+        np.asarray(x + s[:, None, None] * base(x, *w)),
+        np.asarray(res(x, s, *w)))
+    for a, b, nm in zip(g0, g1, ["dx", "dwqkv", "dwproj", "dbproj"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=nm)

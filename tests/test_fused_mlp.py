@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fedcola_tpu.ops.fused_mlp import fused_mlp
 
@@ -201,3 +202,48 @@ def test_residual_folded_items_sublayer_matches_plain():
     for a, b, nm in zip(gv, gvr, ["dx", "dw1"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4, err_msg=nm)
+
+
+@pytest.mark.tpu
+def test_residual_folded_mlp_bitexact_vs_external_fold_on_tpu():
+    """Real-chip bit-exactness of the residual-folded MLP sublayer vs
+    the non-residual kernel + external x + s*f(x) fold (see the
+    attention twin for rationale).
+
+    Run with:  FEDCOLA_TEST_TPU=1 python -m pytest tests/ -m tpu
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real TPU (FEDCOLA_TEST_TPU=1)")
+    from fedcola_tpu.ops.fused_mlp import (
+        fused_mlp_sublayer_items, fused_mlp_residual_sublayer_items)
+
+    Bt, Nt, Dt = 8, 128, 128
+    Hd = 4 * Dt
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(Bt, Nt, Dt) * 0.3, jnp.float32)
+    s = jnp.asarray(rng.choice([0.0, 1.0 / 0.9], size=Bt), jnp.float32)
+    w = (jnp.asarray(rng.rand(Dt) + 0.5, jnp.float32),
+         jnp.asarray(rng.randn(Dt) * 0.1, jnp.float32),
+         jnp.asarray(rng.randn(Dt, Hd) / np.sqrt(Dt), jnp.float32),
+         jnp.asarray(rng.randn(Hd) * 0.01, jnp.float32),
+         jnp.asarray(rng.randn(Hd, Dt) / np.sqrt(Hd), jnp.float32),
+         jnp.asarray(rng.randn(Dt) * 0.01, jnp.float32))
+    do = jnp.asarray(rng.randn(Bt, Nt, Dt), jnp.float32)
+
+    g0 = jax.grad(
+        lambda x, *w: jnp.sum(
+            (x + s[:, None, None] * fused_mlp_sublayer_items(x, *w)) * do),
+        argnums=(0, 3, 5, 6))(x, *w)
+    g1 = jax.grad(
+        lambda x, *w: jnp.sum(
+            fused_mlp_residual_sublayer_items(x, s, *w) * do),
+        argnums=(0, 3, 5, 6))(x, *w)
+    np.testing.assert_array_equal(
+        np.asarray(x + s[:, None, None] * fused_mlp_sublayer_items(x, *w)),
+        np.asarray(fused_mlp_residual_sublayer_items(x, s, *w)))
+    for a, b, nm in zip(g0, g1, ["dx", "dw1", "dw2", "db2"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=nm)
