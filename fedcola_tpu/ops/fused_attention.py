@@ -72,6 +72,9 @@ def _heads_fwd(qkv, D, H, hd, scale, dtype):
     return outs, ps
 
 
+_BWD_G = os.environ.get("FEDCOLA_ATTN_BWD_G")
+
+
 def _make_fwd_kernel(H: int, IB: int):
     def kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                bproj_ref, a_ref):
@@ -185,7 +188,7 @@ def _make_bwd_save_kernel(H: int, IB: int, residual: bool = False):
         hd = D // H
         scale = hd ** -0.5
 
-        G = 2 if N >= 128 else 4
+        G = int(_BWD_G) if _BWD_G else (2 if N >= 128 else 4)
         for g0 in range(0, IB, G):
           group = range(g0, min(g0 + G, IB))
           lnouts = {i: _ln_fwd(x_ref[0, i], lns_ref[0, 0], lnb_ref[0, 0])

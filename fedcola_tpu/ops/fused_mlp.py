@@ -515,6 +515,9 @@ def _mlp_items_per_program(B: int, N: int, Hd: int, budget: int) -> int:
 
 
 _MLP_VMEM_BUDGET = int(os.environ.get("FEDCOLA_MLP_VMEM", 8 * 1024 * 1024))
+# backward phase-group size (items whose VPU/MXU phases interleave);
+# experiment knob for scripts/perf_sweep.py
+_MLP_BWD_G = int(os.environ.get("FEDCOLA_MLP_BWD_G", 2))
 
 
 def _make_ln_item_fwd_kernel(IB: int, residual: bool = False):
@@ -589,8 +592,8 @@ def _make_ln_item_bwd_kernel(IB: int, residual: bool = False):
         lns = lns_ref[0, 0].astype(jnp.float32)
         w1 = w1_ref[0].astype(dt)
         w2 = w2_ref[0].astype(dt)
-        for g0 in range(0, IB, 2):
-            group = range(g0, min(g0 + 2, IB))
+        for g0 in range(0, IB, _MLP_BWD_G):
+            group = range(g0, min(g0 + _MLP_BWD_G, IB))
             lnouts = {i: _ln_rows(x_ref[0, i], lns_ref[0, 0], lnb_ref[0, 0])
                       for i in group}
             hcs = {i: lnouts[i][0].astype(dt) for i in group}
