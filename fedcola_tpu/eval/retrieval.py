@@ -26,16 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import os
-
 from fedcola_tpu.data.datasets import TaskDataset
 from fedcola_tpu.models.mat import MATConfig
 from fedcola_tpu.parallel.client_update import GroupSpec, build_eval_forward
-
-# max eval batches dispatched ahead of their readback: deep enough to keep
-# the device pipelined behind the host, shallow enough that host-fed
-# batches' device input buffers (B x pixels each) stay bounded in HBM
-EVAL_INFLIGHT = int(os.environ.get("FEDCOLA_EVAL_INFLIGHT", 8))
+from fedcola_tpu.utils.dispatch import DispatchWindow
 
 
 def extract_features(cfg: MATConfig, spec: GroupSpec, params,
@@ -68,11 +62,7 @@ def extract_features(cfg: MATConfig, spec: GroupSpec, params,
     # per-batch np.asarray would cap the pipeline at one program deep,
     # while unbounded dispatch would pin every host-fed batch's input
     # buffers in HBM at once (the window bounds that)
-    from collections import deque
-    pending: "deque" = deque()
-
-    def drain_one():
-        fi, ft, idx = pending.popleft()
+    def drain_one(fi, ft, idx):
         fi = np.asarray(fi[:len(idx)], np.float32)
         ft = np.asarray(ft[:len(idx)], np.float32)
         for j, i in enumerate(idx):
@@ -84,6 +74,7 @@ def extract_features(cfg: MATConfig, spec: GroupSpec, params,
             cap_feats.append(ft[j])
             caption_classes.append(image_id)
 
+    window = DispatchWindow(drain_one)
     for start in range(0, n, batch_size):
         idx = order[start:start + batch_size]
         pad = batch_size - len(idx)
@@ -99,11 +90,8 @@ def extract_features(cfg: MATConfig, spec: GroupSpec, params,
             batch = mesh_plan.shard_eval_batch(batch)
         fi, ft = (fwd(params, batch, resident) if resident is not None
                   else fwd(params, batch))
-        pending.append((fi, ft, idx))
-        if len(pending) > EVAL_INFLIGHT:
-            drain_one()
-    while pending:
-        drain_one()
+        window.push(fi, ft, idx)
+    window.flush()
 
     image_features = np.stack(image_feature_rows)
     caption_features = np.stack(cap_feats)

@@ -27,7 +27,7 @@ import logging
 import os
 import random
 import time
-from collections import defaultdict, deque
+from collections import defaultdict
 from typing import Dict, List, Optional
 
 import jax
@@ -518,21 +518,20 @@ class FedAvgServer:
                                                   or cfg.B)
                 params_dev = self.mesh_plan.replicate(params)
                 from fedcola_tpu.ops.losses import cross_entropy
-                from fedcola_tpu.eval.retrieval import EVAL_INFLIGHT
+                from fedcola_tpu.utils.dispatch import DispatchWindow
                 n = test.n
+
                 # windowed dispatch-ahead: keep the device pipelined
                 # behind the host without pinning every host-fed batch's
                 # input buffers in HBM at once
-                pending = deque()
-
-                def drain_one():
-                    dev, idx = pending.popleft()
+                def drain_one(dev, idx):
                     logits = np.asarray(dev)[:len(idx)]
                     y = test.targets[idx]
                     loss = float(cross_entropy(jnp.asarray(logits),
                                                jnp.asarray(y)))
                     mm.track(loss, logits, y)
 
+                window = DispatchWindow(drain_one)
                 for start in range(0, n, B):
                     idx = np.arange(start, min(start + B, n))
                     pad = B - len(idx)
@@ -549,11 +548,8 @@ class FedAvgServer:
                     dev = (fwd(params_dev, batch, resident)
                            if resident is not None
                            else fwd(params_dev, batch))
-                    pending.append((dev, idx))
-                    if len(pending) > EVAL_INFLIGHT:
-                        drain_one()
-                while pending:
-                    drain_one()
+                    window.push(dev, idx)
+                window.flush()
                 mm.aggregate(n)
                 result = mm.results
                 # clean keys (the reference has a precedence slip here,
@@ -606,6 +602,9 @@ class FedAvgServer:
         from fedcola_tpu.ops.losses import clip_contrastive, cross_entropy
         from fedcola_tpu.parallel.client_update import build_local_eval
         losses, sizes = [], []
+        # per-task-metric (acc1 for cls clients, f1 otherwise) cohort
+        # values as (value, n_samples) pairs, summarized like the losses
+        metric_vals: Dict[str, List] = defaultdict(list)
         groups: Dict[str, List[int]] = defaultdict(list)
         for i in ids:
             shard = self.data.client_shards[i]
@@ -649,11 +648,11 @@ class FedAvgServer:
             ls, cs, ns = (np.asarray(a, np.float64)[:n]
                           for a in (ls, cs, ns))
             for j, i in enumerate(gids):
-                res = {"loss": float(ls[j] / max(ns[j], 1.0)),
-                       "metrics": ({"acc1": float(cs[j] / max(ns[j], 1.0))}
-                                   if spec.modality != "img+txt" else {})}
-                losses.append(res["loss"])
+                losses.append(float(ls[j] / max(ns[j], 1.0)))
                 sizes.append(len(tidxs[j]))
+                if spec.modality != "img+txt":
+                    metric_vals["acc1"].append(
+                        (float(cs[j] / max(ns[j], 1.0)), len(tidxs[j])))
 
         # one replicated parameter staging per dataset (not per client)
         params_dev_of: Dict[str, object] = {}
@@ -675,11 +674,9 @@ class FedAvgServer:
             tidx = shard.test_indices
             # windowed dispatch-ahead (same pipelining/backpressure
             # trade-off as central eval)
-            from fedcola_tpu.eval.retrieval import EVAL_INFLIGHT
-            pending = deque()
+            from fedcola_tpu.utils.dispatch import DispatchWindow
 
-            def drain_one():
-                dev, sel = pending.popleft()
+            def drain_one(dev, sel):
                 if spec.modality == "img+txt":
                     fi, ft = dev
                     loss = float(clip_contrastive(fi[:len(sel)],
@@ -692,6 +689,7 @@ class FedAvgServer:
                                                jnp.asarray(y)))
                     mm.track(loss, logits, y)
 
+            window = DispatchWindow(drain_one)
             for s in range(0, len(tidx), B):
                 sel = tidx[s:s + B]
                 pad = B - len(sel)
@@ -710,17 +708,19 @@ class FedAvgServer:
                 batch = self.mesh_plan.shard_eval_batch(batch)
                 dev = (fwd(params_dev, batch, resident)
                        if resident is not None else fwd(params_dev, batch))
-                pending.append((dev, sel))
-                if len(pending) > EVAL_INFLIGHT:
-                    drain_one()
-            while pending:
-                drain_one()
+                window.push(dev, sel)
+            window.flush()
             mm.aggregate(len(tidx))
             losses.append(mm.results["loss"])
             sizes.append(len(tidx))
+            for m, v in mm.results.get("metrics", {}).items():
+                metric_vals[m].append((float(v), len(tidx)))
         if not losses:
             return
         summary = {"loss": self.summarize_losses(losses, sizes)}
+        for m, pairs in metric_vals.items():
+            summary[m] = self.summarize_losses([p[0] for p in pairs],
+                                               [p[1] for p in pairs])
         key = f'clients_evaluated_{"in" if participated else "out"}'
         self.results[self.round][key] = summary
         logger.info("[EVAL] [LOCAL] %d clients | loss avg %.4f std %.4f "
@@ -777,7 +777,9 @@ class FedAvgServer:
         os.makedirs(cfg.result_path, exist_ok=True)
         with open(os.path.join(cfg.result_path, f"{cfg.exp_name}.json"),
                   "w", encoding="utf8") as f:
-            json.dump({str(k): v for k, v in self.results.items()}, f,
+            from fedcola_tpu.utils.logging import json_sanitize
+            json.dump(json_sanitize({str(k): v
+                                     for k, v in self.results.items()}), f,
                       indent=4, default=float)
         ckpt_dir = os.path.join(cfg.result_path, cfg.exp_name)
         self.save_checkpoint(ckpt_dir)

@@ -188,7 +188,9 @@ def _make_bwd_save_kernel(H: int, IB: int, residual: bool = False):
         hd = D // H
         scale = hd ** -0.5
 
-        G = int(_BWD_G) if _BWD_G else (2 if N >= 128 else 4)
+        # clamp to >= 1: a non-positive group size would make the item
+        # loop empty and return never-written VMEM as gradients
+        G = max(1, int(_BWD_G)) if _BWD_G else (2 if N >= 128 else 4)
         for g0 in range(0, IB, G):
           group = range(g0, min(g0 + G, IB))
           lnouts = {i: _ln_fwd(x_ref[0, i], lns_ref[0, 0], lnb_ref[0, 0])

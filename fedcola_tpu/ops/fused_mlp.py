@@ -516,8 +516,10 @@ def _mlp_items_per_program(B: int, N: int, Hd: int, budget: int) -> int:
 
 _MLP_VMEM_BUDGET = int(os.environ.get("FEDCOLA_MLP_VMEM", 8 * 1024 * 1024))
 # backward phase-group size (items whose VPU/MXU phases interleave);
-# experiment knob for scripts/perf_sweep.py
-_MLP_BWD_G = int(os.environ.get("FEDCOLA_MLP_BWD_G", 2))
+# experiment knob for scripts/perf_sweep.py.  Clamped to >= 1: a
+# non-positive group size would make the kernel's item loop empty and
+# return never-written VMEM as gradients.
+_MLP_BWD_G = max(1, int(os.environ.get("FEDCOLA_MLP_BWD_G", 2)))
 
 
 def _make_ln_item_fwd_kernel(IB: int, residual: bool = False):

@@ -4,8 +4,26 @@ stream + file handlers with the same record format."""
 from __future__ import annotations
 
 import logging
+import math
+import numbers
 import os
 import sys
+
+
+def json_sanitize(obj):
+    """Recursively replace non-finite numbers with ``None``:
+    ``json.dumps`` would otherwise emit bare ``Infinity``/``NaN`` tokens,
+    which are not RFC 8259 JSON and break strict parsers (jq, most
+    non-Python readers).  A client whose loss transiently overflows (bf16)
+    is warned about and continues (server._train_group); its metrics
+    record must stay machine-readable."""
+    if isinstance(obj, dict):
+        return {k: json_sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [json_sanitize(v) for v in obj]
+    if isinstance(obj, numbers.Real) and not isinstance(obj, (bool, int)):
+        return obj if math.isfinite(float(obj)) else None
+    return obj
 
 
 def set_logger(path: str | None = None, level=logging.INFO) -> logging.Logger:

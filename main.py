@@ -37,8 +37,9 @@ class WandbWriter:
 
     def log(self, payload, step):
         import json
+        from fedcola_tpu.utils.logging import json_sanitize
         self._jsonl.write(json.dumps({"round": step, **{
-            k: float(v) for k, v in payload.items()}}) + "\n")
+            k: json_sanitize(float(v)) for k, v in payload.items()}}) + "\n")
         self._jsonl.flush()
         if self._wandb:
             self._wandb.log(payload, step=step)
@@ -67,6 +68,18 @@ def main(argv=None):
             coordinator_address=cfg.dist_coordinator,
             num_processes=cfg.dist_num_processes,
             process_id=cfg.dist_process_id)
+    is_proc0 = jax.process_index() == 0
+    if jax.process_count() > 1:
+        # EXPERIMENTAL (PARITY.md): the servers' host interactions
+        # (numpy staging via device_put, per-round scalar readbacks,
+        # checkpoint serialization) are written for a single-controller
+        # topology and have only ever run single-process — multi-process
+        # runs exercise an unverified path.  File-writing side effects
+        # (metrics JSONL, wandb, checkpoints, result JSON) are gated to
+        # process 0 so hosts on shared storage don't clobber each other.
+        print("WARNING: multi-host mode is experimental; host readbacks "
+              "and checkpointing are verified single-process only "
+              "(see PARITY.md)", file=sys.stderr)
     # persistent compile cache: the fully-unrolled production programs
     # take minutes to compile cold; repeat runs on the same machine reuse
     # them (config.update, not env — jax may already be imported)
@@ -88,7 +101,7 @@ def main(argv=None):
     set_seed(cfg.seed)
 
     data = load_federated_data(cfg, np.random.RandomState(cfg.seed))
-    writer = WandbWriter(cfg)
+    writer = WandbWriter(cfg) if is_proc0 else None
     server = create_server(cfg, data, writer)
 
     ckpt_dir = os.path.join(cfg.result_path, cfg.exp_name, "ckpt")
@@ -106,9 +119,11 @@ def main(argv=None):
             server.update()
         if (r % cfg.eval_every == 0) or (r == cfg.R):
             server.evaluate([])
-        if cfg.checkpoint_every and r % cfg.checkpoint_every == 0:
+        if cfg.checkpoint_every and r % cfg.checkpoint_every == 0 \
+                and is_proc0:
             server.save_checkpoint(ckpt_dir)
-    server.finalize()
+    if is_proc0:
+        server.finalize()
 
 
 if __name__ == "__main__":

@@ -64,3 +64,38 @@ def test_metric_manager_loss_math():
     mm.aggregate(total_len=10)
     assert mm.results["loss"] == pytest.approx((2.0 * 6 + 1.0 * 4) / 10)
     assert 0 <= mm.results["metrics"]["acc1"] <= 1
+
+
+def test_dispatch_window_bounds_inflight():
+    """DispatchWindow drains FIFO and never holds more than `inflight`
+    dispatched-but-unread items (the documented HBM backpressure bound)."""
+    from fedcola_tpu.utils.dispatch import DispatchWindow
+    drained = []
+    win = DispatchWindow(lambda a, b: drained.append((a, b)), inflight=3)
+    max_pending = 0
+    for i in range(10):
+        win.push(i, i * 10)
+        max_pending = max(max_pending, len(win._q))
+    assert max_pending <= 3
+    win.flush()
+    assert drained == [(i, i * 10) for i in range(10)]
+    # degenerate knob values clamp to a window of 1, never 0 (an empty
+    # window would deadlock push)
+    win1 = DispatchWindow(lambda x: drained.append(x), inflight=0)
+    win1.push(99)
+    win1.flush()
+    assert drained[-1] == 99
+
+
+def test_json_sanitize_nonfinite():
+    """Non-finite floats must not reach the metrics JSONL / results JSON:
+    json.dumps would emit bare Infinity/NaN (invalid strict JSON)."""
+    import json
+    from fedcola_tpu.utils.logging import json_sanitize
+    obj = {"a": float("inf"), "b": [1, float("nan"), 2.5],
+           "c": {"d": np.float32("-inf"), "e": "txt", "f": True, "g": 7}}
+    out = json_sanitize(obj)
+    s = json.dumps(out, allow_nan=False)   # raises if any slipped through
+    assert out["a"] is None and out["b"] == [1, None, 2.5]
+    assert out["c"]["d"] is None and out["c"]["e"] == "txt"
+    assert out["c"]["f"] is True and out["c"]["g"] == 7
