@@ -187,49 +187,6 @@ def tpu_bf16_peak():
     return 197e12, f"{kind} (unknown generation; assuming v5e peak)"
 
 
-def _pathbacked_coco_fixture(root, n_train_img, n_test_img, size):
-    """COCO-format on-disk fixture (jpegs + captions json + vocab) so the
-    bench can time the REAL data path: json parse -> decode/materialize ->
-    deduped-store HBM staging -> device row gathers.  Cached across runs."""
-    import json as _json
-    stamp = os.path.join(root, f"ready_{n_train_img}_{n_test_img}_{size}")
-    if os.path.exists(stamp):
-        return root
-    from PIL import Image
-    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
-    os.makedirs(os.path.join(root, "all_images"), exist_ok=True)
-    rng = np.random.RandomState(0)
-
-    def make(split, n_img):
-        images, anns = [], []
-        aid = 0 if split == "train" else 10 ** 7
-        base = 0 if split == "train" else 10 ** 6
-        for i in range(n_img):
-            fn = f"{split}_{i}.jpg"
-            Image.fromarray(rng.randint(0, 256, (size, size, 3))
-                            .astype(np.uint8)).save(
-                os.path.join(root, "all_images", fn), quality=85)
-            images.append({"id": base + i, "file_name": fn})
-            for c in range(5):
-                anns.append({"id": aid, "image_id": base + i,
-                             "caption": f"a photo number {i} caption {c} "
-                                        f"of several things"})
-                aid += 1
-        name = ("captions_train2014.json" if split == "train"
-                else "captions_val2014.json")
-        with open(os.path.join(root, "annotations", name), "w") as f:
-            _json.dump({"images": images, "annotations": anns}, f)
-
-    make("train", n_train_img)
-    make("test", n_test_img)
-    with open(os.path.join(root, "vocab.txt"), "w") as f:
-        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "photo",
-                           "number", "caption", "of", "several", "things"]
-                          + [str(i) for i in range(50)]))
-    open(stamp, "w").close()
-    return root
-
-
 def full_round(on_tpu, pathbacked=False):
     """One production FedAvg round at the scripts/coco.sh population shape:
     feeder + group update programs + aggregation + central eval (acc +
@@ -263,7 +220,8 @@ def full_round(on_tpu, pathbacked=False):
         n_img = 1000 if on_tpu else 30
         # per-config fixture directory: CPU-smoke and TPU configs must not
         # clobber each other's jpegs/annotations under a shared root
-        root = _pathbacked_coco_fixture(
+        from fedcola_tpu.data.fixtures import coco_fixture
+        root = coco_fixture(
             os.path.join("/tmp", "fedcola_bench_coco",
                          f"{n_img}_{max(n_img // 4, 5)}_{size}"), n_img,
             max(n_img // 4, 5), size)

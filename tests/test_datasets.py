@@ -176,3 +176,35 @@ def test_coco_public_set_reference_layout(tmp_path):
     np.testing.assert_array_equal(ds.ann_ids, [106, 107, 108, 109])
     assert ds.image_paths[0].endswith("all_images/img3.jpg")
     assert ds.texts.shape == (4, 8)
+
+
+def test_fixture_generators_load_through_real_fetchers(tmp_path):
+    """The shared path-backed fixtures (fedcola_tpu/data/fixtures.py) must
+    parse through the real COCO/Flickr fetchers: correct 5-captions/image
+    grouping, decodable jpegs, deduped materialization — these fixtures
+    back the bench's path-backed figure and the evidence runs."""
+    from fedcola_tpu.data.datasets import fetch_coco
+    from fedcola_tpu.data.fixtures import coco_fixture, flickr_fixture
+
+    croot = coco_fixture(str(tmp_path / "coco"), 4, 3, 24)
+    tok = get_tokenizer(data_path=croot, dataset="Coco")
+    ds = fetch_coco(croot, train=True, tokenizer=tok, seq_len=12,
+                    image_size=24)
+    assert ds.n == 20 and ds.n_images == 4
+    assert ds.materialize_images()
+    assert ds._image_store.shape == (4, 24, 24, 3)
+
+    froot = flickr_fixture(str(tmp_path / "flickr"), 4, 3, 24)
+    ftok = get_tokenizer(data_path=froot, dataset="Flickr30k")
+    fds = fetch_flickr30k(froot, train=True, tokenizer=ftok, seq_len=12,
+                          image_size=24)
+    assert fds.n == 20 and (fds.image_ids == np.arange(20) // 5).all()
+    assert fds.materialize_images()
+    assert fds._image_store.shape == (4, 24, 24, 3)
+    tds = fetch_flickr30k(froot, train=False, tokenizer=ftok, seq_len=12,
+                          image_size=24)
+    assert tds.n == 15
+    # captions carry the image index -> retrieval is learnable, and train
+    # and test caption spaces are disjoint (test images use offset indices)
+    assert not set(map(tuple, fds.texts.tolist())) \
+        & set(map(tuple, tds.texts.tolist()))
