@@ -8,6 +8,15 @@ staging -> on-device row gathers.  Captions encode their image's index
 ("a photo number {i} ...") so image<->caption retrieval has a learnable
 target and recall@k measures real convergence, not chance.
 
+``eval_overlap=True`` (the default) makes the test split reference the
+SAME jpegs and caption codes as the first ``n_test_img`` train images:
+retrieval eval then measures whether training actually aligned those
+image<->caption pairs — an infrastructure-convergence target (recall
+climbs from chance toward 1.0 as the towers align), NOT a generalization
+measure; random noise images admit no generalizable signal.  With
+``eval_overlap=False`` the test split gets fresh noise images and unseen
+caption codes (timing-only: recall stays at chance).
+
 Fixtures are content-stamped and cached across runs.
 """
 
@@ -18,9 +27,14 @@ import os
 
 import numpy as np
 
-_VOCAB = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "photo", "number",
-           "caption", "of", "several", "things"]
-          + [str(i) for i in range(50)])
+def _vocab(n_codes: int):
+    """Every caption code must be a whole vocab token: WordPiece turns
+    any number it cannot fully piece together into [UNK], which would
+    collapse distinct captions into one and silently destroy the
+    learnable image<->caption target."""
+    return (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "photo", "number",
+             "caption", "of", "several", "things"]
+            + [str(i) for i in range(max(n_codes, 50))])
 
 
 def _write_images(rng, img_dir, names, size):
@@ -37,27 +51,33 @@ def _caption(i: int, c: int) -> str:
 
 
 def coco_fixture(root: str, n_train_img: int, n_test_img: int,
-                 size: int) -> str:
+                 size: int, eval_overlap: bool = True) -> str:
     """COCO-format fixture: ``annotations/captions_{train,val}2014.json``
     + ``all_images/`` jpegs + ``vocab.txt`` (the layout ``fetch_coco``
     parses; reference coco.py via pycocotools)."""
-    stamp = os.path.join(root, f"ready_{n_train_img}_{n_test_img}_{size}")
+    stamp = os.path.join(
+        root, f"ready_{n_train_img}_{n_test_img}_{size}_{int(eval_overlap)}")
     if os.path.exists(stamp):
         return root
     os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
     rng = np.random.RandomState(0)
 
     def make(split, n_img):
-        names = [f"{split}_{i}.jpg" for i in range(n_img)]
-        _write_images(rng, os.path.join(root, "all_images"), names, size)
+        overlap = split == "test" and eval_overlap
+        names = [(f"train_{i}.jpg" if overlap else f"{split}_{i}.jpg")
+                 for i in range(n_img)]
+        if not overlap:
+            _write_images(rng, os.path.join(root, "all_images"), names,
+                          size)
         images, anns = [], []
         aid = 0 if split == "train" else 10 ** 7
         base = 0 if split == "train" else 10 ** 6
+        code = 0 if (split == "train" or overlap) else n_train_img
         for i, fn in enumerate(names):
             images.append({"id": base + i, "file_name": fn})
             for c in range(5):
                 anns.append({"id": aid, "image_id": base + i,
-                             "caption": _caption(i, c)})
+                             "caption": _caption(code + i, c)})
                 aid += 1
         name = ("captions_train2014.json" if split == "train"
                 else "captions_val2014.json")
@@ -66,28 +86,32 @@ def coco_fixture(root: str, n_train_img: int, n_test_img: int,
 
     make("train", n_train_img)
     make("test", n_test_img)
+    n_codes = n_train_img + (0 if eval_overlap else n_test_img)
     with open(os.path.join(root, "vocab.txt"), "w") as f:
-        f.write("\n".join(_VOCAB))
+        f.write("\n".join(_vocab(n_codes)))
     open(stamp, "w").close()
     return root
 
 
 def flickr_fixture(root: str, n_train_img: int, n_test_img: int,
-                   size: int) -> str:
+                   size: int, eval_overlap: bool = True) -> str:
     """Flickr30k-format fixture: ``{train,test}.csv`` pipe-CSVs
     (``image_name|comment_number|comment``, 5 captions/image) +
     ``flickr30k_images/`` jpegs + ``vocab.txt`` (the layout
     ``fetch_flickr30k`` parses; reference flickr30k.py:9-45)."""
-    stamp = os.path.join(root, f"ready_{n_train_img}_{n_test_img}_{size}")
+    stamp = os.path.join(
+        root, f"ready_{n_train_img}_{n_test_img}_{size}_{int(eval_overlap)}")
     if os.path.exists(stamp):
         return root
     os.makedirs(root, exist_ok=True)
     rng = np.random.RandomState(0)
 
-    def make(split, n_img, base):
-        names = [f"{split}_{i}.jpg" for i in range(n_img)]
-        _write_images(rng, os.path.join(root, "flickr30k_images"), names,
-                      size)
+    def make(split, n_img, base, overlap=False):
+        names = [(f"train_{i}.jpg" if overlap else f"{split}_{i}.jpg")
+                 for i in range(n_img)]
+        if not overlap:
+            _write_images(rng, os.path.join(root, "flickr30k_images"),
+                          names, size)
         with open(os.path.join(root, f"{split}.csv"), "w",
                   encoding="utf-8") as f:
             f.write("image_name| comment_number| comment\n")
@@ -101,8 +125,10 @@ def flickr_fixture(root: str, n_train_img: int, n_test_img: int,
     import shutil
     shutil.copyfile(os.path.join(root, "train.csv"),
                     os.path.join(root, "train_all.csv"))
-    make("test", n_test_img, n_train_img)
+    make("test", n_test_img, 0 if eval_overlap else n_train_img,
+         overlap=eval_overlap)
+    n_codes = n_train_img + (0 if eval_overlap else n_test_img)
     with open(os.path.join(root, "vocab.txt"), "w") as f:
-        f.write("\n".join(_VOCAB))
+        f.write("\n".join(_vocab(n_codes)))
     open(stamp, "w").close()
     return root

@@ -204,7 +204,22 @@ def test_fixture_generators_load_through_real_fetchers(tmp_path):
     tds = fetch_flickr30k(froot, train=False, tokenizer=ftok, seq_len=12,
                           image_size=24)
     assert tds.n == 15
-    # captions carry the image index -> retrieval is learnable, and train
-    # and test caption spaces are disjoint (test images use offset indices)
-    assert not set(map(tuple, fds.texts.tolist())) \
-        & set(map(tuple, tds.texts.tolist()))
+    # eval_overlap (default): the test split references the SAME images +
+    # caption codes as train, so retrieval eval has a true (memorization)
+    # target — recall climbs as training aligns the pairs
+    assert tds.materialize_images()
+    np.testing.assert_array_equal(tds._image_store, fds._image_store[:3])
+    assert set(map(tuple, tds.texts.tolist())) \
+        <= set(map(tuple, fds.texts.tolist()))
+
+    # eval_overlap=False: fresh test images, disjoint caption codes
+    # (timing-only fixture)
+    droot = flickr_fixture(str(tmp_path / "flickr_d"), 4, 3, 24,
+                           eval_overlap=False)
+    dtok = get_tokenizer(data_path=droot, dataset="Flickr30k")
+    dtr = fetch_flickr30k(droot, train=True, tokenizer=dtok, seq_len=12,
+                          image_size=24)
+    dte = fetch_flickr30k(droot, train=False, tokenizer=dtok, seq_len=12,
+                          image_size=24)
+    assert not set(map(tuple, dtr.texts.tolist())) \
+        & set(map(tuple, dte.texts.tolist()))
