@@ -544,8 +544,8 @@ def _fwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj, s=None):
                                                 wproj, bproj)
     return pl.pallas_call(
         _make_fwd_save_kernel(H, IB, residual),
-        name="attn_sublayer_res_fwd_save" if residual
-        else "attn_sublayer_fwd_save",
+        name=("attn_sublayer_res_fwd_save" if residual
+              else "attn_sublayer_fwd_save") + f"_n{N}",
         grid=(n, B // IB),
         in_specs=in_specs,
         out_specs=(item, p_item, item),
@@ -583,8 +583,8 @@ def _bwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, p, cat, da, s=None):
                                                 wproj, p, cat, da)
     return pl.pallas_call(
         _make_bwd_save_kernel(H, IB, residual),
-        name="attn_sublayer_res_bwd_save" if residual
-        else "attn_sublayer_bwd_save",
+        name=("attn_sublayer_res_bwd_save" if residual
+              else "attn_sublayer_bwd_save") + f"_n{N}",
         grid=(n, B // IB),
         in_specs=in_specs,
         out_specs=(item, any_spec, any_spec, any_spec, any_spec, any_spec,

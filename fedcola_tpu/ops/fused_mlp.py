@@ -684,7 +684,8 @@ def _ln_item_fwd_call(x, lns, lnb, w1, b1, w2, b2, s=None):
     args = (x,) + ((s,) if residual else ()) + (lns, lnb, w1, b1, w2, b2)
     return pl.pallas_call(
         _make_ln_item_fwd_kernel(IB, residual),
-        name="mlp_ln_res_fwd_items" if residual else "mlp_ln_fwd_items",
+        name=("mlp_ln_res_fwd_items" if residual
+              else "mlp_ln_fwd_items") + f"_n{N}",
         grid=(n, B // IB),
         in_specs=in_specs,
         out_specs=item,
@@ -718,7 +719,8 @@ def _ln_item_bwd_call(x, lns, lnb, w1, b1, w2, do, s=None):
     args = (x,) + ((s,) if residual else ()) + (lns, lnb, w1, b1, w2, do)
     return pl.pallas_call(
         _make_ln_item_bwd_kernel(IB, residual),
-        name="mlp_ln_res_bwd_items" if residual else "mlp_ln_bwd_items",
+        name=("mlp_ln_res_bwd_items" if residual
+              else "mlp_ln_bwd_items") + f"_n{N}",
         grid=(n, B // IB),
         in_specs=in_specs,
         out_specs=(item,) + (anys,) * 6,
