@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import time
 from collections import defaultdict
 from typing import Dict, List
 
@@ -409,7 +410,11 @@ class CreamflServer(FedAvgServer):
 
     def update(self):
         cfg = self.cfg
-        self._generate_public_logit()
+        t0 = time.time()
+        from fedcola_tpu.utils.profiling import Timer
+        timer = Timer()
+        with timer.section("pub_logit"):
+            self._generate_public_logit()
         self._pub_feats: Dict[int, jnp.ndarray] = {}
 
         sampled = sample_clients(
@@ -424,10 +429,19 @@ class CreamflServer(FedAvgServer):
         updated_sizes = {i: self.clients[i].n_train for i in sampled}
 
         uploads, round_metrics = {}, {}
-        for ds, ids in groups.items():
-            uploads[ds], m = self._train_group(ds, ids)
-            round_metrics.update(m)
+        with timer.section("train"):
+            for ds, ids in groups.items():
+                uploads[ds], m = self._train_group(ds, ids)
+                round_metrics.update(m)
         self.results[self.round]["clients_updated"] = round_metrics
+        # training-loss cohort summary, same record the FedAvg round
+        # writes (reference _log_results runs for every algorithm,
+        # fedavgserver.py:362-379)
+        tr_losses = [round_metrics[i]["loss"] for i in sampled]
+        tr_sizes = [updated_sizes[i] for i in sampled]
+        summary = self.summarize_losses(tr_losses, tr_sizes)
+        self.results[self.round]["clients_updated_summary"] = \
+            {"loss": summary}
 
         # contrastive-weighted public feature aggregation
         img_ids = [i for i in sampled if self.clients[i].modality == "img"]
@@ -446,21 +460,24 @@ class CreamflServer(FedAvgServer):
         client_cfgs = {ds: self.model_cfgs[ds] for ds in groups}
         exp_modalities = cfg.modalities or [DATASET_2_MODALITY[d]
                                             for d in cfg.client_datasets]
-        for ds in self.global_params:
-            is_mm = DATASET_2_MODALITY[ds] == "img+txt"
-            jobs, weights = agg.plan_aggregation(
-                ds, self.model_cfgs[ds], client_cfgs, self.clients,
-                sampled, updated_sizes, self.param_scope, exp_modalities,
-                group_members, compensation=cfg.compensation and is_mm,
-                share_scope=cfg.share_scope, fedavg=not is_mm,
-                creamfl=is_mm, zero_init=is_mm,
-                model_modality=DATASET_2_MODALITY[ds],
-                model_task=DATASET_2_TASK[ds])
-            self.global_params[ds] = agg.apply_aggregation(
-                jobs, weights, self.global_params[ds], uploads)
+        with timer.section("aggregate"):
+            for ds in self.global_params:
+                is_mm = DATASET_2_MODALITY[ds] == "img+txt"
+                jobs, weights = agg.plan_aggregation(
+                    ds, self.model_cfgs[ds], client_cfgs, self.clients,
+                    sampled, updated_sizes, self.param_scope,
+                    exp_modalities, group_members,
+                    compensation=cfg.compensation and is_mm,
+                    share_scope=cfg.share_scope, fedavg=not is_mm,
+                    creamfl=is_mm, zero_init=is_mm,
+                    model_modality=DATASET_2_MODALITY[ds],
+                    model_task=DATASET_2_TASK[ds])
+                self.global_params[ds] = agg.apply_aggregation(
+                    jobs, weights, self.global_params[ds], uploads)
 
         if img_vec is not None and txt_vec is not None:
-            self._distill(img_vec, txt_vec)
+            with timer.section("distill"):
+                self._distill(img_vec, txt_vec)
         else:
             logger.warning("[CREAMFL] skipping distillation: missing %s "
                            "client features",
@@ -472,6 +489,13 @@ class CreamflServer(FedAvgServer):
 
         if self.round % cfg.lr_decay_step == 0:
             self.curr_lr *= cfg.lr_decay
+
+        dt = time.time() - t0
+        self.results[self.round]["round_seconds"] = dt
+        self.results[self.round]["round_sections"] = dict(timer.sections)
+        logger.info("[CREAMFL] [Round %04d] %d clients in %d groups, "
+                    "%.2fs (%s)", self.round, len(sampled), len(groups),
+                    dt, timer.summary())
         return sampled
 
     def finalize(self):
