@@ -29,6 +29,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -296,7 +297,7 @@ def main():
                   f"resident store): {pb_s:.2f} s ({pb_sps:.1f} samples/s)",
                   file=sys.stderr)
 
-    print(json.dumps({
+    record = {
         "metric": "mm client-update samples/sec/chip "
                   "(ViT-small MAT, COCO shape B=96, drop_path 0.1, "
                   "batched+bf16+pallas; baseline = JAX re-creation of the "
@@ -311,7 +312,11 @@ def main():
         "round_samples_per_sec": round(round_sps, 1),
         "pathbacked_round_seconds": round(pb_s, 2),
         "pathbacked_round_samples_per_sec": round(pb_sps, 1),
-    }))
+    }
+    # skipped sections (FEDCOLA_BENCH_* = 0) leave NaNs; drop those keys
+    # rather than emit non-RFC "NaN" tokens in the machine-readable line
+    print(json.dumps({k: v for k, v in record.items()
+                      if not (isinstance(v, float) and math.isnan(v))}))
 
 
 if __name__ == "__main__":

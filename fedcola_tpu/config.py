@@ -446,6 +446,22 @@ def check_args(cfg: ExperimentConfig) -> ExperimentConfig:
     if (cfg.datasets and NUM_CLASS.get(cfg.datasets[-1]) == 2
             and cfg.criterion == "CrossEntropyLoss"):
         cfg.criterion = "BCEWithLogitsLoss"
+    # a dataset name may appear at most once among the CLIENT entries:
+    # clients of one name share a single TaskDataset (the resident data
+    # plane stages that one object) and the servers key groups, global
+    # models, and aggregation by name — duplicated entries would merge
+    # into one group anyway (upstream too: global_models/raw_tests are
+    # name-keyed dicts, fedavgserver.py:145-155), so ask for the
+    # equivalent single entry instead of failing deep in round 1
+    seen: set = set()
+    for d in cfg.client_datasets:
+        if d in seen:
+            raise ValueError(
+                f"dataset {d!r} appears more than once among the client "
+                "entries of --datasets; use a single entry with the "
+                "summed K (same population: the server keys models and "
+                "aggregation by dataset name)")
+        seen.add(d)
     # broadcast per-dataset sampling fractions (fedavgserver.py:137-142)
     n_client_datasets = max(len(cfg.client_datasets), 1)
     if len(cfg.Cs) == 1:

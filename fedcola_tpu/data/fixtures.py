@@ -55,6 +55,9 @@ def coco_fixture(root: str, n_train_img: int, n_test_img: int,
     """COCO-format fixture: ``annotations/captions_{train,val}2014.json``
     + ``all_images/`` jpegs + ``vocab.txt`` (the layout ``fetch_coco``
     parses; reference coco.py via pycocotools)."""
+    assert not eval_overlap or n_test_img <= n_train_img, (
+        "eval_overlap reuses train_{i}.jpg for the test split, so it "
+        f"needs n_test_img ({n_test_img}) <= n_train_img ({n_train_img})")
     stamp = os.path.join(
         root, f"ready_{n_train_img}_{n_test_img}_{size}_{int(eval_overlap)}")
     if os.path.exists(stamp):
@@ -96,9 +99,13 @@ def coco_fixture(root: str, n_train_img: int, n_test_img: int,
 def flickr_fixture(root: str, n_train_img: int, n_test_img: int,
                    size: int, eval_overlap: bool = True) -> str:
     """Flickr30k-format fixture: ``{train,test}.csv`` pipe-CSVs
-    (``image_name|comment_number|comment``, 5 captions/image) +
+    (``image_name|comment_number|comment``, 5 captions/image; test reuses
+    train_{i}.jpg when ``eval_overlap``) +
     ``flickr30k_images/`` jpegs + ``vocab.txt`` (the layout
     ``fetch_flickr30k`` parses; reference flickr30k.py:9-45)."""
+    assert not eval_overlap or n_test_img <= n_train_img, (
+        "eval_overlap reuses train_{i}.jpg for the test split, so it "
+        f"needs n_test_img ({n_test_img}) <= n_train_img ({n_train_img})")
     stamp = os.path.join(
         root, f"ready_{n_train_img}_{n_test_img}_{size}_{int(eval_overlap)}")
     if os.path.exists(stamp):

@@ -280,19 +280,16 @@ class CreamflServer(FedAvgServer):
         pub_fn = self._build_pub_update(ds)
         gp = self.global_params[ds]
         shards = [self.data.client_shards[i] for i in ids]
-        from fedcola_tpu.data.pipeline import AugmentSpec
-        aug = AugmentSpec(crop=cfg.crop, randrot=cfg.randrot,
-                          randhf=cfg.randhf, randvf=cfg.randvf,
-                          randjit=cfg.randjit)
-        aug = aug if ("img" in spec.modality and aug.active) else None
+        # HBM-resident task data when eligible (pub phases interleave per
+        # epoch, so epochs stream one at a time, unlike the fedavg path);
+        # aug routing shared with the FedAvg path: crop/flips stay on
+        # device inside the resident gather, rot/jitter evict to host
+        spec, aug, data_dev = self._group_aug_plan(ds, spec)
         feeder = GroupFeeder(shards, cfg.B, spec.modality,
                              chunk_steps=cfg.train_chunk_steps,
                              shuffle=not cfg.no_shuffle,
                              rng=self.shuffle_rng,
                              debug_two_batches=cfg.debug, aug=aug)
-        # HBM-resident task data when eligible (pub phases interleave per
-        # epoch, so epochs stream one at a time, unlike the fedavg path)
-        data_dev = None if aug is not None else self._resident_data(ds, spec)
         update_fn = build_group_update(mcfg, spec, self.opt_spec,
                                        self._frozen_token(ds, spec.modality),
                                        resident=data_dev is not None)

@@ -140,6 +140,38 @@ class FedAvgServer:
             "loaders.load_federated_data builds")
         return first
 
+    def _group_aug_plan(self, ds: str, spec):
+        """Decide a group's augmentation routing (shared by the FedAvg and
+        CreamFL train paths): returns ``(spec, aug, data_dev)``.  Crop and
+        flips run on device inside the resident gather
+        (client_update.device_augment) and keep the HBM-resident plane;
+        rotation/color-jitter are host-side transforms, so those flags
+        fall back to host-fed pixels (logged once per dataset).
+        Reference transforms: data.py:86-134."""
+        cfg = self.cfg
+        from fedcola_tpu.data.pipeline import AugmentSpec
+        aug = AugmentSpec(crop=cfg.crop, randrot=cfg.randrot,
+                          randhf=cfg.randhf, randvf=cfg.randvf,
+                          randjit=cfg.randjit)
+        aug = aug if ("img" in spec.modality and aug.active) else None
+        data_dev = None
+        if aug is None:
+            data_dev = self._resident_data(ds, spec)
+        elif aug.device_supported:
+            data_dev = self._resident_data(ds, spec)
+            if data_dev is not None:
+                import dataclasses
+                spec = dataclasses.replace(
+                    spec, aug_crop=aug.crop, aug_randhf=aug.randhf,
+                    aug_randvf=aug.randvf)
+                aug = None
+        elif ds not in self._aug_host_logged:
+            self._aug_host_logged.add(ds)
+            logger.info("[DATA] %s: --randrot/--randjit are host-side "
+                        "transforms; group runs host-fed (crop/flips alone "
+                        "would keep the HBM-resident plane)", ds)
+        return spec, aug, data_dev
+
     def _group_spec(self, ds: str) -> GroupSpec:
         modality = DATASET_2_MODALITY[ds]
         task = DATASET_2_TASK[ds]
@@ -266,30 +298,7 @@ class FedAvgServer:
         frozen = self._frozen_token(ds, spec.modality)
 
         shards = [self.data.client_shards[i] for i in ids]
-        from fedcola_tpu.data.pipeline import AugmentSpec
-        aug = AugmentSpec(crop=cfg.crop, randrot=cfg.randrot,
-                          randhf=cfg.randhf, randvf=cfg.randvf,
-                          randjit=cfg.randjit)
-        aug = aug if ("img" in spec.modality and aug.active) else None
-        data_dev = None
-        if aug is None:
-            data_dev = self._resident_data(ds, spec)
-        elif aug.device_supported:
-            # crop/flips run on device inside the resident gather
-            # (client_update.device_augment), so these flags keep the
-            # HBM-resident plane (reference transforms data.py:86-134)
-            data_dev = self._resident_data(ds, spec)
-            if data_dev is not None:
-                import dataclasses
-                spec = dataclasses.replace(
-                    spec, aug_crop=aug.crop, aug_randhf=aug.randhf,
-                    aug_randvf=aug.randvf)
-                aug = None
-        elif ds not in self._aug_host_logged:
-            self._aug_host_logged.add(ds)
-            logger.info("[DATA] %s: --randrot/--randjit are host-side "
-                        "transforms; group runs host-fed (crop/flips alone "
-                        "would keep the HBM-resident plane)", ds)
+        spec, aug, data_dev = self._group_aug_plan(ds, spec)
         feeder = GroupFeeder(shards, cfg.B, spec.modality,
                              chunk_steps=cfg.train_chunk_steps,
                              shuffle=not cfg.no_shuffle,

@@ -480,6 +480,16 @@ def _embed_image(cfg: MATConfig, emb: Params, x: jnp.ndarray,
         x = jnp.repeat(x, 3, axis=-1)
         C = 3
     x = x.astype(dtype)
+    # same hard size contract as the reference PatchEmbed (mome.py:262-263)
+    # but with the actionable cause: a --crop that differs from the model's
+    # img_size reaches here uncorrected (crop semantics are "pad 4 + crop
+    # back to img_size" translation augmentation in the canonical configs)
+    if (H, W) != (cfg.img_size, cfg.img_size):
+        raise ValueError(
+            f"input image size ({H}x{W}) doesn't match model "
+            f"({cfg.img_size}x{cfg.img_size}); if --crop is set it must "
+            "equal the model's img_size (the reference asserts the same, "
+            "mome.py:262-263)")
     gh, gw = H // P, W // P
     x = x.reshape(B, gh, P, gw, P, C).transpose(0, 1, 3, 2, 4, 5)
     x = x.reshape(B, gh * gw, P * P * C)

@@ -164,6 +164,25 @@ def test_binary_last_dataset_rewrites_criterion_to_bce(monkeypatch):
     assert cfg2.criterion == "CrossEntropyLoss"
 
 
+def test_duplicate_client_datasets_rejected_loudly():
+    """Clients of one dataset name share a single TaskDataset and the
+    servers key groups/models/aggregation by name, so a duplicated client
+    entry must be rejected at check_args (the equivalent run is a single
+    entry with the summed K), not crash deep in round 1."""
+    with pytest.raises(ValueError, match="more than once"):
+        check_args(ExperimentConfig(
+            exp_name="dup", multi_task=True,
+            datasets=["Coco", "Coco", "Coco"],
+            modalities=["img+txt", "img+txt", "img+txt"],
+            Ks=[2, 2], Cs=[1.0]))
+    # the canonical layout (final entry repeats a client dataset) is fine
+    check_args(ExperimentConfig(
+        exp_name="ok", multi_task=True,
+        datasets=["CIFAR100", "AG_NEWS", "Coco", "Coco"],
+        modalities=["img", "txt", "img+txt", "img+txt"],
+        Ks=[2, 2, 2], Cs=[1.0]))
+
+
 def test_use_model_tokenizer_rejected_loudly():
     """--use_model_tokenizer parity (reference data.py:173-181): upstream
     asserts model_name in the legacy Bert family, so every mome_* MAT run
