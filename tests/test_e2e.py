@@ -125,6 +125,38 @@ def test_creamfl_runs():
     assert all(np.isfinite(l).all() for l in leaves)
 
 
+def test_creamfl_shares_aug_routing():
+    """Regression (structural): the aug/residency routing is one shared
+    helper (_group_aug_plan) — the CreamFL train path had its own copy
+    that silently evicted crop/flip runs from the HBM-resident plane
+    while fedavg kept them resident."""
+    from fedcola_tpu.federation.creamfl import CreamflServer
+    from fedcola_tpu.federation.server import FedAvgServer
+    assert CreamflServer._group_aug_plan is FedAvgServer._group_aug_plan
+
+
+@pytest.mark.slow
+def test_creamfl_aug_keeps_residency():
+    """Regression (functional): a CreamFL round with --crop/--randhf
+    trains every img-bearing group from the HBM-resident plane."""
+    cfg = make_cfg(
+        algorithm="creamfl",
+        datasets=["CIFAR100", "AG_NEWS", "Coco", "Coco"],
+        modalities=["img", "txt", "img+txt", "img+txt"],
+        Ks=[2, 2, 2], Cs=[1.0, 1.0, 1.0],
+        num_pub_samples=8, pub_batch_size=8, kd_weight=1e-3,
+        interintra_weight=1.0, B=8, crop=32, randhf=0.5,
+    )
+    rng = np.random.RandomState(cfg.seed)
+    data = load_federated_data(cfg, rng)
+    server = create_server(cfg, data)
+    server.round = 1
+    assert server.update()
+    # both img-bearing groups trained from the resident plane despite aug
+    assert server._resident_cache.get("CIFAR100") is not None
+    assert server._resident_cache.get("Coco") is not None
+
+
 @pytest.mark.slow
 def test_fedprox_and_fedopt_run():
     cfg = make_cfg(algorithm="fedprox", mu=0.01)
