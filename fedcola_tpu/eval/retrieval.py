@@ -11,8 +11,9 @@ Pipeline parity:
   (eval_coco.py:290-351 + ParallelMatMulModule) with one fused device
   computation: a [n_q, n_g] similarity matmul, a double argsort for ranks,
   and a masked min over positives — no host loops;
-* ``evaluate_n_fold`` = 5 positional crossfolds of 1k images / 5k captions
-  (eval_coco.py:353-407);
+* ``evaluate_n_fold`` = 5 positional crossfolds of 1k images with the
+  matching caption block per fold (= the reference's fixed 5k-caption
+  slices when every image has 5 captions, eval_coco.py:353-407);
 * returned structure matches ``evaluate`` (eval_coco.py:409-465):
   {'n_fold': {'i2t': {...}, 't2i': {...}}, 'i2t': {...}, 't2i': {...},
   'rsum'/'medr'/'meanr' summed over directions}.
@@ -104,8 +105,8 @@ def extract_features(cfg: MATConfig, spec: GroupSpec, params,
     # (same group order, original order within a group) in O(n log n)
     # instead of O(n_img * n_cap) — at 5k x 25k that loop was 125M
     # comparisons per central eval, every round at --eval_every 1.
-    pos_of = {c: i for i, c in enumerate(image_classes.tolist())}
-    keys = np.fromiter((pos_of[c] for c in caption_classes.tolist()),
+    # img_ids_seen already maps image_id -> first-seen row position
+    keys = np.fromiter((img_ids_seen[c] for c in caption_classes.tolist()),
                        np.int64, len(caption_classes))
     sorted_idx = np.argsort(keys, kind="stable")
     caption_features = caption_features[sorted_idx]
@@ -143,12 +144,24 @@ def evaluate_recall(q_features, g_features, q_classes, g_classes) -> Dict[str, f
 
 def evaluate_n_fold(image_features, caption_features, image_classes,
                     caption_classes, n_crossfolds: int = 5,
-                    n_images_per_fold: int = 1000,
-                    n_captions_per_fold: int = 5000) -> Dict[str, Dict[str, float]]:
+                    n_images_per_fold: int = 1000) -> Dict[str, Dict[str, float]]:
+    """Positional crossfolds (eval_coco.py:353-407).  Caption fold
+    boundaries are derived from the image fold via the grouped caption
+    order (captions are sorted behind their image's position by
+    ``extract_features``): with exactly 5 captions/image this reproduces
+    the reference's fixed 5000-caption slices bit-for-bit, and with
+    ragged caption counts it keeps every fold's captions inside the
+    fold's image gallery — the reference's fixed slices would misalign
+    there, leaving t2i queries with no positive in the gallery."""
+    pos_of = {c: i for i, c in enumerate(image_classes.tolist())}
+    cap_pos = np.fromiter((pos_of[c] for c in caption_classes.tolist()),
+                          np.int64, len(caption_classes))  # non-decreasing
     folds = {"i2t": [], "t2i": []}
     for k in range(n_crossfolds):
-        isl = slice(k * n_images_per_fold, (k + 1) * n_images_per_fold)
-        csl = slice(k * n_captions_per_fold, (k + 1) * n_captions_per_fold)
+        a, b = k * n_images_per_fold, (k + 1) * n_images_per_fold
+        ca = int(np.searchsorted(cap_pos, a, "left"))
+        cb = int(np.searchsorted(cap_pos, b, "left"))
+        isl, csl = slice(a, b), slice(ca, cb)
         if (len(image_features[isl]) == 0
                 or len(caption_features[csl]) == 0):
             continue   # tiny gallery: fewer populated folds than requested
@@ -176,11 +189,11 @@ def evaluate(cfg: MATConfig, spec: GroupSpec, params, dataset: TaskDataset,
     if n_crossfolds > 0 and len(imf) >= n_crossfolds * 1000:
         scores["n_fold"] = evaluate_n_fold(imf, capf, imc, capc, n_crossfolds)
     elif n_crossfolds > 0:
-        # small datasets: fold sizes scale down proportionally
+        # small datasets: image folds scale down proportionally (caption
+        # folds follow the image fold inside evaluate_n_fold)
         nipf = max(len(imf) // n_crossfolds, 1)
-        ncpf = max(len(capf) // n_crossfolds, 1)
         scores["n_fold"] = evaluate_n_fold(imf, capf, imc, capc,
-                                           n_crossfolds, nipf, ncpf)
+                                           n_crossfolds, nipf)
     scores["i2t"] = evaluate_recall(imf, capf, imc, capc)
     scores["t2i"] = evaluate_recall(capf, imf, capc, imc)
     for key in ("rsum", "medr", "meanr"):

@@ -124,24 +124,14 @@ def compute_coefficients(
         for cid in sorted_ids:
             c = clients[cid]
             size = float(updated_sizes[cid])
-            if fedavg:
-                # plain branch (fedavgserver.py:602-614): 'modality' is exact
-                # equality, no out-modality scaling, and 'modality_exact' is
-                # unhandled (the reference would KeyError at accumulate time;
-                # we yield zero contribution instead of crashing).
-                if scope == "modality":
-                    n = size if c.modality == model_modality else 0.0
-                elif scope == "modality_exact":
-                    n = 0.0
-                else:
-                    n = _scope_numerator(scope, c, size, model_dataset,
-                                         model_modality, model_task,
-                                         param_modality)
-                new_num[cid] = n
-                continue
-            if creamfl:
-                # CreamFL variant (creamflserver.py:264-275): exact-equality
-                # 'modality', no modality_exact, no out-modality scaling
+            if fedavg or creamfl:
+                # plain-fedavg branch (fedavgserver.py:602-614) and the
+                # CreamFL variant (creamflserver.py:264-275) compute the
+                # same numerators: 'modality' is exact equality, no
+                # out-modality scaling, and 'modality_exact' is unhandled
+                # (the reference would KeyError at accumulate time; we
+                # yield zero contribution instead of crashing).  They
+                # differ only in normalisation, handled below.
                 if scope == "modality":
                     n = size if c.modality == model_modality else 0.0
                 elif scope == "modality_exact":
@@ -174,7 +164,8 @@ def compute_coefficients(
         else:
             if share_scope == "all":
                 denom = old_sum
-                coefficients[name] = {cid: v / denom for cid, v in new_num.items()}
+                coefficients[name] = {cid: (v / denom if denom != 0 else 0.0)
+                                      for cid, v in new_num.items()}
             elif share_scope == "modality":
                 denom = sum(float(updated_sizes[cid]) for cid in sorted_ids
                             if clients[cid].modality in model_modality
@@ -250,8 +241,9 @@ def plan_aggregation(
     fedavg: bool = False,
     creamfl: bool = False,
     zero_init: bool = False,
-    model_modality: str = None,
-    model_task: str = None,
+    *,
+    model_modality: str,
+    model_task: str,
 ):
     """Host-side planning: returns (jobs, weights) where ``jobs`` is a static
     tuple of AggregationJob and ``weights`` the matching dynamic structure:
@@ -272,6 +264,10 @@ def plan_aggregation(
     upload_maps: Dict[str, Dict[str, Tuple[str, ...]]] = {}
     for ds, ccfg in client_cfgs.items():
         upload_maps[ds] = {n: p for p, n in naming.upload_param_names(ccfg)}
+    # stack position of each client in its group's upload (O(1) lookups in
+    # the per-name contributor loop below)
+    member_pos = {ds: {cid: i for i, cid in enumerate(members)}
+                  for ds, members in group_members.items()}
 
     jobs: List[AggregationJob] = []
     weights: List[Tuple[float, Dict[str, np.ndarray]]] = []
@@ -301,7 +297,7 @@ def plan_aggregation(
             if ds not in group_vecs:
                 group_vecs[ds] = np.zeros(len(group_members[ds]), np.float32)
                 group_paths[ds] = upload_maps[ds][name]
-            group_vecs[ds][group_members[ds].index(cid)] += wj
+            group_vecs[ds][member_pos[ds][cid]] += wj
 
         jobs.append(AggregationJob(
             target_path=path, name=name,

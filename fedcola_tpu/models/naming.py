@@ -176,7 +176,8 @@ def required_param_names(cfg: MATConfig) -> List[Tuple[Tuple[str, ...], str]]:
     none_idx = [i for i, m in enumerate(cfg.modalities) if m is None]
     out = []
     for path, name in names:
-        if any(f"blockses.{i}" in name for i in none_idx):
+        # dot-terminated prefix: "blockses.1" must not match "blockses.11"
+        if any(f"blockses.{i}." in name for i in none_idx):
             continue
         out.append((path, name))
     return out

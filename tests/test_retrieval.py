@@ -44,6 +44,39 @@ def test_n_fold_positional_slices():
     img_cls = np.arange(n_img)
     cap_cls = np.repeat(img_cls, 5)
     out = evaluate_n_fold(img, cap, img_cls, cap_cls, n_crossfolds=2,
-                          n_images_per_fold=5, n_captions_per_fold=25)
+                          n_images_per_fold=5)
     assert out["i2t"]["recall_1"] == 1.0
     assert out["t2i"]["recall_1"] == 1.0
+
+
+def test_n_fold_caption_blocks_follow_image_folds():
+    """Regression: when the image fold size doesn't align with 5-caption
+    blocks (or caption counts are ragged), every fold's captions must
+    stay inside the fold's image gallery — misaligned fixed slices left
+    t2i queries with no positive, poisoning meanr with the int32
+    sentinel."""
+    rng = np.random.RandomState(2)
+    n_img = 7                                  # 7 images, 5 captions each
+    img = rng.randn(n_img, 8).astype(np.float32)
+    img /= np.linalg.norm(img, axis=1, keepdims=True)
+    cap = np.repeat(img, 5, axis=0)
+    img_cls = np.arange(n_img)
+    cap_cls = np.repeat(img_cls, 5)
+    # n_images_per_fold=1 (the small-dataset path): the old fixed caption
+    # slice would be len(cap)//5 = 7 captions per fold, crossing images
+    out = evaluate_n_fold(img, cap, img_cls, cap_cls, n_crossfolds=5,
+                          n_images_per_fold=1)
+    for d in ("i2t", "t2i"):
+        assert out[d]["recall_1"] == 1.0
+        assert out[d]["meanr"] < n_img + 1     # no int32-sentinel poisoning
+
+    # ragged caption counts: image 0 has 3 captions, image 1 has 7
+    counts = [3, 7, 5, 5, 5, 5, 5]
+    cap_r = np.concatenate([np.repeat(img[i:i + 1], c, axis=0)
+                            for i, c in enumerate(counts)])
+    cls_r = np.concatenate([np.full(c, i) for i, c in enumerate(counts)])
+    out = evaluate_n_fold(img, cap_r, img_cls, cls_r, n_crossfolds=3,
+                          n_images_per_fold=2)
+    for d in ("i2t", "t2i"):
+        assert out[d]["recall_1"] == 1.0
+        assert out[d]["meanr"] < n_img + 1
