@@ -28,14 +28,18 @@ Retrieval datasets keep the 5-captions-per-image alignment and expose
 from __future__ import annotations
 
 import json
+import logging
 import os
 import pickle
+import zlib
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
 from fedcola_tpu.data.tokenizer import WordPieceTokenizer
+
+logger = logging.getLogger(__name__)
 
 _DECODE_POOL = None
 
@@ -252,15 +256,29 @@ def fetch_flickr30k(root: str, train: bool, tokenizer: WordPieceTokenizer,
     import csv
     fname = ("train_all.csv" if train_all else "train.csv") if train else "test.csv"
     path = os.path.join(root, fname)
-    names, caps = [], []
+    names, caps, short_rows = [], [], 0
     with open(path, encoding="utf-8") as f:
         reader = csv.reader(f, delimiter="|")
         header = next(reader)
         for row in reader:
-            if len(row) < 3:
-                continue
+            if not row or not row[0].strip():
+                continue            # blank line
+            # NEVER drop a malformed row: the dataset layout is 5
+            # consecutive captions per image and image_ids = arange(n)//5
+            # below — one dropped row would shift every later caption onto
+            # the wrong image.  The known results.csv row with a missing
+            # comment becomes an empty caption ('' ≙ the reference's
+            # pandas NaN row); extra '|' inside a comment is re-joined.
             names.append(row[0].strip())
-            caps.append(row[2].strip())
+            if len(row) < 3:
+                caps.append("")
+                short_rows += 1
+            else:
+                caps.append("|".join(row[2:]).strip())
+    if short_rows:
+        logger.warning("[FLICKR30K] %s: %d row(s) without a comment field "
+                       "kept as empty captions to preserve the 5-per-image "
+                       "alignment", fname, short_rows)
     ids = tokenizer.encode_batch(caps, seq_len)
     n = len(caps)
     img_dir = os.path.join(root, "flickr30k_images")
@@ -288,10 +306,8 @@ def fetch_coco(root: str, train: bool, tokenizer: WordPieceTokenizer,
     ann_file = os.path.join(
         root, "annotations",
         "captions_train2014.json" if train else "captions_val2014.json")
-    with open(ann_file, encoding="utf-8") as f:
-        ann = json.load(f)
-    img_file_of = {im["id"]: im["file_name"] for im in ann["images"]}
-    ann_by_id = {a["id"]: a for a in ann["annotations"]}
+    ann_by_id, rows_of = _parse_coco_annotations(
+        ann_file, os.path.join(root, "all_images"))
     if os.path.exists(ids_file):
         ann_ids = np.load(ids_file)
     else:
@@ -301,19 +317,35 @@ def fetch_coco(root: str, train: bool, tokenizer: WordPieceTokenizer,
     if (not train) and reduce_test_samples > 0:
         ann_ids = ann_ids[:reduce_test_samples]
 
-    caps, img_ids, paths = [], [], []
-    img_dir = os.path.join(root, "all_images")
-    for aid in ann_ids:
-        a = ann_by_id[int(aid)]
-        caps.append(a["caption"])
-        img_ids.append(a["image_id"])
-        paths.append(os.path.join(img_dir, img_file_of[a["image_id"]]))
+    caps, img_ids, paths = rows_of(ann_ids)
     ids = tokenizer.encode_batch(caps, seq_len)
     return TaskDataset(name="Coco", task="rtv", modality="img+txt",
                        num_classes=None, n=len(caps), texts=ids, targets=ids,
                        image_paths=paths, image_size=image_size,
                        image_ids=np.asarray(img_ids),
                        ann_ids=np.asarray(ann_ids))
+
+
+def _parse_coco_annotations(ann_file: str, img_dir: str):
+    """Parse a COCO captions json once; shared by ``fetch_coco`` and the
+    CreamFL public loader.  Returns ``(ann_by_id, rows_of)`` where
+    ``rows_of(ann_ids)`` yields the aligned (captions, image_ids,
+    image_paths) lists for the given annotation ids."""
+    with open(ann_file, encoding="utf-8") as f:
+        ann = json.load(f)
+    img_file_of = {im["id"]: im["file_name"] for im in ann["images"]}
+    ann_by_id = {a["id"]: a for a in ann["annotations"]}
+
+    def rows_of(ann_ids):
+        caps, img_ids, paths = [], [], []
+        for aid in ann_ids:
+            a = ann_by_id[int(aid)]
+            caps.append(a["caption"])
+            img_ids.append(a["image_id"])
+            paths.append(os.path.join(img_dir, img_file_of[a["image_id"]]))
+        return caps, img_ids, paths
+
+    return ann_by_id, rows_of
 
 
 def fetch_coco_public(pub_data_dir: str, pub_anno_path: str,
@@ -326,20 +358,14 @@ def fetch_coco_public(pub_data_dir: str, pub_anno_path: str,
     above the annotation file), annotations come from ``pub_anno_path`` and
     images from ``pub_data_dir``.  The canonical scripts pass
     captions_train2014.json here (scripts/coco.sh:16)."""
-    parent = os.sep.join(pub_anno_path.split("/")[:-2])
+    # two-levels-up of the annotation file (≡ the reference's
+    # os.sep.join(anno_path.split('/')[:-2]), creamflserver.py:106, but
+    # separator-safe)
+    parent = os.path.dirname(os.path.dirname(pub_anno_path))
     ann_ids = np.load(os.path.join(parent, "coco_train_ids.npy"))
     ann_ids = ann_ids[-num_pub_samples:]
-    with open(pub_anno_path, encoding="utf-8") as f:
-        ann = json.load(f)
-    img_file_of = {im["id"]: im["file_name"] for im in ann["images"]}
-    ann_by_id = {a["id"]: a for a in ann["annotations"]}
-    caps, img_ids, paths = [], [], []
-    for aid in ann_ids:
-        a = ann_by_id[int(aid)]
-        caps.append(a["caption"])
-        img_ids.append(a["image_id"])
-        paths.append(os.path.join(pub_data_dir,
-                                  img_file_of[a["image_id"]]))
+    _, rows_of = _parse_coco_annotations(pub_anno_path, pub_data_dir)
+    caps, img_ids, paths = rows_of(ann_ids)
     ids = tokenizer.encode_batch(caps, seq_len)
     return TaskDataset(name="CocoPublic", task="rtv", modality="img+txt",
                        num_classes=None, n=len(caps), texts=ids, targets=ids,
@@ -373,7 +399,10 @@ def fetch_dataset(name: str, root: str, train: bool,
             img_hw=32 if name == "CIFAR100" else (image_size or 224),
             seq_len=seq_len,
             vocab_size=tokenizer.vocab_size if tokenizer else 30522,
-            seed=hash((name, train)) % (2 ** 31))
+            # stable across processes (str hash() is salted per
+            # interpreter; a resumed or multi-host run must regenerate
+            # identical synthetic data)
+            seed=zlib.crc32(f"{name}/{train}".encode()) % (2 ** 31))
     if name == "CIFAR100":
         return fetch_cifar100(root, train, image_size=image_size or 32)
     from fedcola_tpu.data.torchtext import (TORCHTEXT_NUM_CLASSES,

@@ -229,8 +229,12 @@ class GroupFeeder:
                     else:
                         if pad_batch is None:
                             idx = orders[c][:1] if shard.n else np.array([0])
+                            # probe WITH the aug chain: crop changes the
+                            # image shape, and padded steps must stack
+                            # with real (augmented) batches
                             one = _gather_batch(shard.dataset, idx, 1,
-                                                self.modality)
+                                                self.modality, self.aug,
+                                                self.rng)
                             pad_batch = {
                                 k: np.zeros((B,) + v.shape[1:], v.dtype)
                                 for k, v in one.items()}
@@ -243,6 +247,26 @@ class GroupFeeder:
                 chunk_per_client.append(stacked)
             yield {k: np.stack([cc[k] for cc in chunk_per_client])
                    for k in chunk_per_client[0]}
+
+    def _epoch_step_streams(self, epochs: int):
+        """Per-client step streams over ``epochs`` independent reshuffled
+        epochs (the reference's per-client ``for e: for batch`` loops,
+        fedavgclient.py:67-75 — clients never epoch-sync).  Shared by the
+        host-fed and index-only round iterators.  Returns
+        (streams, totals, max_total)."""
+        B = self.B
+        streams: List[List[np.ndarray]] = []
+        for c, shard in enumerate(self.shards):
+            steps: List[np.ndarray] = []
+            for _ in range(epochs):
+                order = shard.indices.copy()
+                if self.shuffle:
+                    self.rng.shuffle(order)
+                for s in range(self.steps_per_client[c]):
+                    steps.append(order[s * B:(s + 1) * B])
+            streams.append(steps)
+        totals = [len(st) for st in streams]
+        return streams, totals, max(totals)
 
     def round_chunks(self, epochs: int) -> Iterator[Dict[str, np.ndarray]]:
         """Stream all ``epochs`` local epochs as fixed-shape chunks.
@@ -257,18 +281,7 @@ class GroupFeeder:
         no matter which clients are sampled in later rounds; only the
         round's final chunk carries padded (masked, exact-no-op) steps."""
         B = self.B
-        streams: List[List[np.ndarray]] = []
-        for c, shard in enumerate(self.shards):
-            steps: List[np.ndarray] = []
-            for _ in range(epochs):
-                order = shard.indices.copy()
-                if self.shuffle:
-                    self.rng.shuffle(order)
-                for s in range(self.steps_per_client[c]):
-                    steps.append(order[s * B:(s + 1) * B])
-            streams.append(steps)
-        totals = [len(st) for st in streams]
-        max_total = max(totals)
+        streams, totals, max_total = self._epoch_step_streams(epochs)
         Sc = self.chunk_steps
         n_chunks = -(-max_total // Sc)
         for ci in range(n_chunks):
@@ -284,9 +297,12 @@ class GroupFeeder:
                                           self.modality, self.aug, self.rng)
                     else:
                         if pad_batch is None:
+                            # probe WITH the aug chain (shape-changing
+                            # crop; see epoch_chunks)
                             one = _gather_batch(
                                 ds, streams[c][0][:1] if totals[c]
-                                else np.array([0]), 1, self.modality)
+                                else np.array([0]), 1, self.modality,
+                                self.aug, self.rng)
                             pad_batch = {
                                 k: np.zeros((B,) + v.shape[1:], v.dtype)
                                 for k, v in one.items()}
@@ -309,18 +325,7 @@ class GroupFeeder:
         indices (the host link is orders of magnitude slower than HBM).
         Same per-client independent epoch streaming as round_chunks."""
         B = self.B
-        streams: List[List[np.ndarray]] = []
-        for c, shard in enumerate(self.shards):
-            steps: List[np.ndarray] = []
-            for _ in range(epochs):
-                order = shard.indices.copy()
-                if self.shuffle:
-                    self.rng.shuffle(order)
-                for s in range(self.steps_per_client[c]):
-                    steps.append(order[s * B:(s + 1) * B])
-            streams.append(steps)
-        totals = [len(st) for st in streams]
-        max_total = max(totals)
+        streams, totals, max_total = self._epoch_step_streams(epochs)
         Sc = self.chunk_steps
         n = len(self.shards)
         for ci in range(-(-max_total // Sc)):

@@ -143,17 +143,24 @@ class CreamflServer(FedAvgServer):
 
     # ------------------------------------------------- global pub features --
 
-    def _generate_public_logit(self):
-        """creamflserver.py:128-162: mm global model embeds the public set."""
+    @functools.lru_cache(maxsize=2)
+    def _build_pub_embed(self):
+        """jitted mm public-set embed; built once (a fresh @jax.jit per
+        round would retrace + recompile every round)."""
         mcfg = self.model_cfgs[self.mm_dataset]
-        params = self.global_params[self.mm_dataset]
         spec = self._group_spec(self.mm_dataset)
 
-        @jax.jit
         def fwd(params, img, txt):
             x = preprocess_images(img, spec, jnp.dtype(mcfg.compute_dtype))
             outs = mat_apply(mcfg, params, [x, txt], feat_out=True)
             return outs[0], outs[1]
+
+        return jax.jit(fwd)
+
+    def _generate_public_logit(self):
+        """creamflserver.py:128-162: mm global model embeds the public set."""
+        params = self.global_params[self.mm_dataset]
+        fwd = self._build_pub_embed()
 
         gi, gt = [], []
         for b in self._pub_batches():
@@ -347,6 +354,22 @@ class CreamflServer(FedAvgServer):
         loss_sums = np.asarray(acc["l"], np.float64)[:n]
         cor = np.asarray(acc["c"], np.float64)[:n]
         cnt = np.asarray(acc["n"], np.float64)[:n]
+        # same numerics sanitizer as FedAvgServer._train_group (task-epoch
+        # losses; the pub-phase losses are not tracked upstream either) —
+        # without it a diverging CreamFL client proceeds silently until
+        # the post-aggregation param guard, losing the which-client
+        # diagnostic
+        bad = ~np.isfinite(loss_sums)
+        if bad.any():
+            msg = (f"non-finite training loss in round {self.round} for "
+                   f"dataset {ds!r}, clients "
+                   f"{[ids[j] for j in np.nonzero(bad)[0]]} "
+                   f"(lr={self.curr_lr:.3g}; rerun with --detect_anomaly "
+                   f"for op-level NaN tracing)")
+            if self.cfg.detect_anomaly:
+                raise FloatingPointError(msg)
+            logger.warning("%s — continuing; aggregation will abort if the "
+                           "global params go non-finite", msg)
         metrics = {cid: {"loss": float(loss_sums[j] / max(cnt[j], 1)),
                          "acc1": float(cor[j] / max(cnt[j], 1))}
                    for j, cid in enumerate(ids)}
@@ -367,16 +390,18 @@ class CreamflServer(FedAvgServer):
 
     # -------------------------------------------------------- distillation --
 
-    def _distill(self, img_vec, txt_vec):
-        """Server KD on the public set (creamflserver.py:293-336)."""
+    @functools.lru_cache(maxsize=2)
+    def _build_distill_step(self):
+        """jitted KD step; built once per server (a fresh @jax.jit per
+        round would retrace + recompile every round).  The reference
+        creates a fresh torch optimizer every round (creamflserver.py:300)
+        — zero-initialised moments each call of :meth:`_distill`
+        reproduce that."""
         cfg = self.cfg
-        ds = self.mm_dataset
-        mcfg = self.model_cfgs[ds]
-        spec = self._group_spec(ds)
+        mcfg = self.model_cfgs[self.mm_dataset]
+        spec = self._group_spec(self.mm_dataset)
         dtype = jnp.dtype(mcfg.compute_dtype)
         opt = OptimizerSpec(name="AdamW", max_grad_norm=2.0)
-        params = self.global_params[ds]
-        opt_state = init_opt_state(opt, params)
 
         def loss_fn(params, batch, ti, tt, rng):
             x = preprocess_images(batch["img"], spec, dtype)
@@ -395,6 +420,15 @@ class CreamflServer(FedAvgServer):
             params, opt_state = opt_update(opt, params, grads, opt_state,
                                            jnp.float32(cfg.p_lr))
             return params, opt_state, loss
+
+        return opt, step
+
+    def _distill(self, img_vec, txt_vec):
+        """Server KD on the public set (creamflserver.py:293-336)."""
+        ds = self.mm_dataset
+        opt, step = self._build_distill_step()
+        params = self.global_params[ds]
+        opt_state = init_opt_state(opt, params)
 
         for b in self._pub_batches():
             ti = img_vec[b["didx"]]
@@ -439,6 +473,15 @@ class CreamflServer(FedAvgServer):
         summary = self.summarize_losses(tr_losses, tr_sizes)
         self.results[self.round]["clients_updated_summary"] = \
             {"loss": summary}
+        logger.info("[CREAMFL] [Round %04d] [UPDATE] [SUMMARY] (%d clients)"
+                    " loss avg %.4f std %.4f | top10%% %.4f | bottom10%% "
+                    "%.4f", self.round, len(sampled), summary["avg"],
+                    summary["std"], summary["top10p_avg"],
+                    summary["bottom10p_avg"])
+        if self.writer:
+            self.writer.log({"Local Training Loss/Avg.": summary["avg"],
+                             "Local Training Loss/Std.": summary["std"]},
+                            self.round)
 
         # contrastive-weighted public feature aggregation
         img_ids = [i for i in sampled if self.clients[i].modality == "img"]

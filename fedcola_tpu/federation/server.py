@@ -639,6 +639,11 @@ class FedAvgServer:
             B = self.mesh_plan.pad_eval_batch(self.cfg.B)
             tidxs = [self.data.client_shards[i].test_indices for i in gids]
             S = max(-(-len(t) // B) for t in tidxs)
+            # bucket the step count to the next power of two so a
+            # different client mix in a later eval round reuses the same
+            # compiled program (same trick as GroupFeeder._bucket; padded
+            # steps are exact no-ops via `valid`)
+            S = 1 << (S - 1).bit_length() if S > 1 else 1
             n = len(gids)
             n_pad = self._pad_to_mesh(n)
             idx = np.zeros((n_pad, S, B), np.int32)
@@ -753,7 +758,14 @@ class FedAvgServer:
                 self.cfg.C, self.cfg.equal_sampled, self.round,
                 exclude=list(excluded_ids),
                 eval_fraction=self.cfg.eval_fraction, eval_mode=True)
-            self._local_evaluate(ids, participated=bool(excluded_ids))
+            # the eval pool consists of UNparticipated clients (when
+            # excluded_ids lists the round's participants) or the general
+            # population — either way it is the reference's
+            # participated=False cohort (`clients_evaluated_out`,
+            # fedavgserver.py:866 always passes participated=False; the
+            # 'in' record only exists in its dormant generalization-gap
+            # machinery, :871-880)
+            self._local_evaluate(ids, participated=False)
         if self.cfg.eval_type != "local":
             self._central_evaluate()
 
