@@ -22,7 +22,7 @@ from typing import Dict
 
 import jax.numpy as jnp
 
-from fedcola_tpu.models.mat import MATConfig, Params
+from fedcola_tpu.models.mat import MATConfig, Params, fold_aux_kernels
 
 
 def fold_aux_into_upload(cfg: MATConfig, params: Params) -> Params:
@@ -32,11 +32,7 @@ def fold_aux_into_upload(cfg: MATConfig, params: Params) -> Params:
     if not cfg.has_aux or "aux" not in params:
         return {k: v for k, v in params.items() if k != "aux"}
     main = str(cfg.main_slot)
-    blk = dict(params["blk"][main])
-    aux = params["aux"]
-    for kind in cfg.aux_layer_kinds:
-        scale = aux[f"{kind}_scale"][..., :, None, None]
-        blk[f"{kind}_kernel"] = blk[f"{kind}_kernel"] + scale * aux[f"{kind}_aux"]
+    blk = fold_aux_kernels(cfg, params["blk"][main], params["aux"])
     out = {k: v for k, v in params.items() if k != "aux"}
     out["blk"] = dict(params["blk"])
     out["blk"][main] = blk

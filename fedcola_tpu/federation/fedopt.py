@@ -18,9 +18,13 @@ fedavg.py:44-55) and the server state update follows the FedOpt family
 * fedyogi:   v = v - (1-b2)*delta^2*sign(v - delta^2)
 * fedadagrad: v = v + delta^2
 
-Defaults: b1 = ``--beta1`` (server momentum flag, main.py:265), b2 = 0.99,
-tau = 1e-3, server lr = ``--lr`` (the reference's dormant classes read the
-same ``opt_kwargs``; their unset v0/tau would crash — documented quirk).
+Defaults: b1 = ``--beta1`` taken literally (server momentum flag,
+main.py:265; the CLI default 0.0 means *no* server momentum — pass
+``--beta1 0.9`` for the FedOpt-paper setting), b2 = 0.99, tau = 1e-3,
+server lr = ``--lr`` at this round's value (the decay applies after the
+step, like the client schedule).  The reference's dormant classes read
+the same ``opt_kwargs``; their unset v0/tau would crash — documented
+quirk.
 """
 
 from __future__ import annotations
@@ -73,7 +77,7 @@ class FedOptServer(FedAvgServer):
     def __init__(self, cfg, data, writer=None):
         super().__init__(cfg, data, writer)
         self.flavor = cfg.algorithm
-        self.b1 = cfg.beta1 if cfg.beta1 > 0 else 0.9
+        self.b1 = float(cfg.beta1)   # 0.0 (the CLI default) = no momentum
         self.b2 = 0.99
         self.tau = 1e-3
         zeros = lambda tree: jax.tree_util.tree_map(jnp.zeros_like, tree)
@@ -82,6 +86,9 @@ class FedOptServer(FedAvgServer):
 
     def update(self):
         old_globals = {ds: p for ds, p in self.global_params.items()}
+        # super().update() decays curr_lr at its end; the server step for
+        # THIS round uses this round's lr, same as the clients did
+        round_lr = self.curr_lr
         sampled = super().update()
         if not sampled:
             return sampled
@@ -91,9 +98,23 @@ class FedOptServer(FedAvgServer):
             new_g, m, v = _fedopt_step(
                 old_globals[ds], self.global_params[ds],
                 self.server_m[ds], self.server_v[ds],
-                jnp.float32(self.curr_lr), flavor=self.flavor,
+                jnp.float32(round_lr), flavor=self.flavor,
                 b1=self.b1, b2=self.b2, tau=self.tau)
             self.global_params[ds] = new_g
             self.server_m[ds] = m
             self.server_v[ds] = v
+        # super() exchanged aux weights against the PRE-step aggregate;
+        # re-sync them from the post-step kernels so --with_aux still
+        # means "aux = exact copy of the other modality's current
+        # kernels" (otherwise the fedopt step would reduce the copy to a
+        # tiny optimizer move and silently disable the exchange)
+        if self.cfg.with_aux:
+            from fedcola_tpu.config import DATASET_2_MODALITY
+            from fedcola_tpu.federation.aux import exchange_aux_weights
+            self.global_params = exchange_aux_weights(
+                self.global_params, self.model_cfgs,
+                {ds: DATASET_2_MODALITY[ds] for ds in self.global_params})
+        # the base guard ran before the fedopt step rewrote the globals;
+        # re-check so a non-finite server step cannot become permanent
+        self._assert_global_finite()
         return sampled

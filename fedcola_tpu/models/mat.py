@@ -233,7 +233,7 @@ def init_mat(cfg: MATConfig, rng) -> Params:
     """Build the full parameter pytree for one MAT."""
     params: Params = {"emb": {}, "blk": {}, "head": {}}
     n_slots = len(cfg.modalities)
-    rngs = jax.random.split(rng, 2 * n_slots + 2)
+    rngs = jax.random.split(rng, 3 * n_slots)   # emb, blk, head per slot
 
     for i, modality in enumerate(cfg.modalities):
         if modality == "img":
@@ -261,11 +261,12 @@ def init_mat(cfg: MATConfig, rng) -> Params:
     params["norm"] = {"scale": jnp.ones((cfg.embed_dim,)),
                       "bias": jnp.zeros((cfg.embed_dim,))}
 
-    # heads (mome.py:754-765): cls -> Linear, rtv -> identity (no params)
+    # heads (mome.py:754-765): cls -> Linear, rtv -> identity (no params);
+    # per-slot rng so two cls heads never start bit-identical
     for i, task in enumerate(cfg.tasks):
         if task == "cls":
             nc = cfg.num_classes[i]
-            k, b = _linear_init(rngs[2 * n_slots], cfg.embed_dim,
+            k, b = _linear_init(rngs[2 * n_slots + i], cfg.embed_dim,
                                 (cfg.embed_dim, nc), (nc,))
             params["head"][str(i)] = {"kernel": k, "bias": b}
 
@@ -304,16 +305,26 @@ def _drop_path(x, rate, rng, train: bool):
     return jnp.where(mask, x * inv, jnp.zeros_like(x))
 
 
+def fold_aux_kernels(cfg: MATConfig, blk: Params, aux: Params) -> Params:
+    """``W_eff = W + scale * W_aux`` over ``cfg.aux_layer_kinds``
+    (mome.py:58-60) — the ONE implementation of the reparam fold, shared
+    by the forward pass (:func:`_effective_kernels`) and the upload
+    fold-in (``federation/aux.py``).  The ``[..., depth] -> [..., depth,
+    1, 1]`` scale broadcast handles single and stacked ([n, ...]) trees."""
+    blk = dict(blk)
+    for kind in cfg.aux_layer_kinds:
+        key = f"{kind}_kernel"
+        scale = aux[f"{kind}_scale"][..., :, None, None]
+        blk[key] = blk[key] + scale * aux[f"{kind}_aux"]
+    return blk
+
+
 def _effective_kernels(cfg: MATConfig, params: Params, slot: str) -> Params:
     """Fold aux reparam ``W_eff = W + scale * W_aux`` (mome.py:58-60) into the
     stacked kernels of the main slot.  Returns the block stack to run."""
     blk = dict(params["blk"][slot])
     if cfg.has_aux and int(slot) == cfg.main_slot and "aux" in params:
-        aux = params["aux"]
-        for kind in cfg.aux_layer_kinds:
-            key = f"{kind}_kernel"
-            scale = aux[f"{kind}_scale"][:, None, None]
-            blk[key] = blk[key] + scale * aux[f"{kind}_aux"]
+        blk = fold_aux_kernels(cfg, blk, params["aux"])
     # colearn attn tying: read attn leaves from the main slot
     if cfg.colearn_param == "attn" and cfg.is_multimodal \
             and int(slot) != cfg.main_slot:
@@ -389,9 +400,12 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
             dtype = h.dtype
             # LN params stay f32 (matches the unfused path's numerics);
             # matmul operands cast to the compute dtype
+            # residual-saving is handled by the residual-folded branch
+            # above (train + policy=='kernel' returned early); this path
+            # is eval or a non-kernel remat policy, so never save
             a = make_fused_attention_sublayer(
                 cfg.num_heads,
-                save_residuals=(train and policy == "kernel"))(
+                save_residuals=False)(
                 h,
                 layer["norm1_scale"], layer["norm1_bias"],
                 layer["qkv_kernel"].astype(dtype),

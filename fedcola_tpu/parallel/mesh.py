@@ -69,6 +69,13 @@ class MeshPlan:
                 return MeshPlan(None)
             grid = np.array(devs[:n]).reshape(tuple(mesh_shape))
             return MeshPlan(Mesh(grid, tuple(axes)))
+        if mesh_axes and list(mesh_axes) != ["clients"]:
+            # --mesh_axes without --mesh_shape would otherwise be
+            # silently ignored and train under a different layout than
+            # the user configured
+            raise ValueError(
+                f"--mesh_axes {list(mesh_axes)} requires --mesh_shape "
+                "(one size per axis)")
         if len(devs) > 1:
             return MeshPlan(Mesh(np.array(devs), ("clients",)))
         return MeshPlan(None)

@@ -42,16 +42,18 @@ class OptimizerSpec:
 
 def init_opt_state(spec: OptimizerSpec, params):
     mdt = jnp.dtype(spec.moment_dtype)
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    # zeros_like (not jnp.zeros) so moments inherit the params' sharding:
+    # params arrive stacked and mesh-sharded over the clients axis, and
+    # fresh default-device moments would pile the whole optimizer state
+    # onto device 0 until the first jitted step reshards it
+    moments = lambda: jax.tree_util.tree_map(
+        lambda x: jnp.zeros_like(x, dtype=mdt), params)
     if spec.name in ("Adam", "AdamW"):
-        mz = jax.tree_util.tree_map(
-            lambda x: jnp.zeros(x.shape, mdt), params)
-        return {"m": mz,
-                "v": jax.tree_util.tree_map(
-                    lambda x: jnp.zeros(x.shape, mdt), params),
+        return {"m": moments(), "v": moments(),
                 "t": jnp.zeros((), jnp.int32)}
     if spec.name == "SGD":
-        return {"b": zeros, "t": jnp.zeros((), jnp.int32)}
+        return {"b": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "t": jnp.zeros((), jnp.int32)}
     raise ValueError(spec.name)
 
 

@@ -165,6 +165,57 @@ def test_fedprox_and_fedopt_run():
     run_rounds(cfg, rounds=1)
 
 
+def test_fedopt_step_semantics():
+    """_fedopt_step closed-form checks: b1=0 fedavgm is plain lr-scaled
+    delta (--beta1 0, the CLI default, must mean NO server momentum), and
+    b1=0.9 applies the FedOpt-paper recurrence."""
+    import jax.numpy as jnp
+    from fedcola_tpu.federation.fedopt import _fedopt_step
+    g = {"w": jnp.asarray([1.0, 2.0])}
+    a = {"w": jnp.asarray([1.5, 1.0])}
+    z = {"w": jnp.zeros(2)}
+    ng, nm, _ = _fedopt_step(g, a, z, z, jnp.float32(0.1),
+                             flavor="fedavgm", b1=0.0, b2=0.99, tau=1e-3)
+    np.testing.assert_allclose(ng["w"], [1.05, 1.9], rtol=1e-6)
+    ng, nm, _ = _fedopt_step(g, a, z, z, jnp.float32(0.1),
+                             flavor="fedavgm", b1=0.9, b2=0.99, tau=1e-3)
+    np.testing.assert_allclose(nm["w"], [0.05, -0.1], rtol=1e-6)
+    np.testing.assert_allclose(ng["w"], [1.005, 1.99], rtol=1e-6)
+
+
+def test_fedopt_with_aux_resyncs_exchange():
+    """Regression: the fedopt server step runs BEFORE the aux exchange is
+    final — aux weights must end the round as exact copies of the other
+    modality's post-step kernels, not a tiny optimizer move away from
+    their old values (which would silently disable FedCola's exchange)."""
+    cfg = make_cfg(
+        algorithm="fedyogi", beta1=0.0,
+        datasets=["MedMNIST", "MedicalAbstracts", "MedicalAbstracts"],
+        modalities=["img", "txt", "txt"],
+        Ks=[2, 2], Cs=[1.0, 1.0],
+        with_aux=True, shared_param="attn", share_scope="modality")
+    rng = np.random.RandomState(cfg.seed)
+    data = load_federated_data(cfg, rng)
+    server = create_server(cfg, data)
+    server.round = 1
+    assert server.update()
+    other_of = {"MedMNIST": "MedicalAbstracts",
+                "MedicalAbstracts": "MedMNIST"}
+    checked = 0
+    for ds, params in server.global_params.items():
+        if "aux" not in params:
+            continue
+        src = server.global_params[other_of[ds]]
+        src_cfg = server.model_cfgs[other_of[ds]]
+        src_blk = src["blk"][str(src_cfg.main_slot)]
+        for kind in server.model_cfgs[ds].aux_layer_kinds:
+            np.testing.assert_array_equal(
+                np.asarray(params["aux"][f"{kind}_aux"]),
+                np.asarray(src_blk[f"{kind}_kernel"]))
+            checked += 1
+    assert checked > 0
+
+
 def test_local_eval_on_holdouts():
     """--eval_type both: per-client holdout evaluation (the reference's is
     broken for MAT, fedavgclient.py:140 — ours implements the intended
