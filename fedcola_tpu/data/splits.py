@@ -38,7 +38,12 @@ def simulate_split(split_type: str, n_samples: int, K: int,
 
     if split_type == "unbalanced" or (caption_grouped and split_type != "iid"):
         if caption_grouped:
-            # keep the 5-captions-per-image invariant (split.py:36-56)
+            # keep the 5-captions-per-image invariant, exactly as the
+            # reference: permutation(n//5) and rows idx*5+0..4
+            # (split.py:35-56) — the n%5 tail rows (if any) belong to no
+            # client and row i is assumed to caption image i//5; the
+            # loaders preserve that layout (fetch_flickr30k never drops
+            # a CSV row for this reason)
             shuffled = rng.permutation(n_samples // 5)
             parts = np.array_split(shuffled, K)
             keep = rng.uniform(low=0.95, high=0.99, size=len(parts))
@@ -63,6 +68,15 @@ def simulate_split(split_type: str, n_samples: int, K: int,
         num_shards_per_class = K * mincls // num_classes
         if num_shards_per_class < 1:
             raise ValueError("increase mincls or K for patho split")
+        if num_classes * num_shards_per_class < K * mincls:
+            # the reference crashes mid-assignment here (NaN selection
+            # probabilities once every class is exhausted,
+            # split.py:110-117); fail up-front with the actual constraint
+            raise ValueError(
+                f"patho split infeasible: K*mincls ({K}*{mincls}) picks "
+                f"but only num_classes*(K*mincls//num_classes) = "
+                f"{num_classes * num_shards_per_class} shards exist; "
+                "choose K*mincls divisible by num_classes")
         split_indices = [list(np.array_split(rng.permutation(ci),
                                              num_shards_per_class))
                          for ci in class_indices]
@@ -77,6 +91,11 @@ def simulate_split(split_type: str, n_samples: int, K: int,
                 chosen = rng.choice(num_classes, mincls, replace=True, p=prob)
             shards = []
             for cls_idx in chosen:
+                if not split_indices[cls_idx]:
+                    # replace=True drew the same 1-shard class twice;
+                    # the reference crashes here (choice over an empty
+                    # list) — redirect to any class with shards left
+                    cls_idx = max(shard_counts, key=shard_counts.get)
                 pick = rng.choice(len(split_indices[cls_idx]), 1)[0]
                 shards.append(split_indices[cls_idx].pop(pick))
                 shard_counts[cls_idx] -= 1

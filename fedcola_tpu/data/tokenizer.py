@@ -19,10 +19,13 @@ fallback.
 
 from __future__ import annotations
 
+import logging
 import unicodedata
 from typing import Dict, Iterable, List, Optional
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 def _is_whitespace(ch: str) -> bool:
@@ -185,6 +188,12 @@ def get_tokenizer(data_path: Optional[str] = None,
         path = os.path.join(data_path, VOCABS[dataset])
         if os.path.exists(path):
             return WordPieceTokenizer.from_vocab_file(path)
+    # the model's word-embedding table is sized by VOCAB_SIZES (registry
+    # builds vocab_size=VOCAB_SIZES[dataset]); a fallback tokenizer with
+    # a bigger vocab would emit out-of-range ids that XLA's clamped
+    # gathers turn into silently corrupted embeddings
+    from fedcola_tpu.config import VOCAB_SIZES
+    table_size = VOCAB_SIZES.get(dataset, vocab_size)
     # try a locally cached bert-base-uncased vocab
     for cand in (
         os.path.expanduser("~/.cache/huggingface"),
@@ -192,6 +201,16 @@ def get_tokenizer(data_path: Optional[str] = None,
         if os.path.isdir(cand):
             for root, _, files in os.walk(cand):
                 if "vocab.txt" in files:
-                    return WordPieceTokenizer.from_vocab_file(
+                    tok = WordPieceTokenizer.from_vocab_file(
                         os.path.join(root, "vocab.txt"))
-    return WordPieceTokenizer.synthetic(vocab_size)
+                    if tok.vocab_size <= table_size:
+                        return tok
+                    logger.warning(
+                        "[TOKENIZER] %s: dataset vocab.txt missing and the "
+                        "cached bert vocab (%d tokens) exceeds the model's "
+                        "%d-row embedding table — using a synthetic "
+                        "stand-in instead (ids stay in range; text is NOT "
+                        "meaningfully tokenized)", dataset,
+                        tok.vocab_size, table_size)
+                    return WordPieceTokenizer.synthetic(table_size)
+    return WordPieceTokenizer.synthetic(table_size)

@@ -25,6 +25,7 @@ Reimplements the reference's ``fetch_torchtext_dataset``
 from __future__ import annotations
 
 import csv
+import logging
 import os
 import re
 import sys
@@ -34,6 +35,8 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from fedcola_tpu.data.datasets import TaskDataset
+
+logger = logging.getLogger(__name__)
 
 # reference torchtextparser.py:57-66
 TORCHTEXT_NUM_CLASSES = {
@@ -135,10 +138,22 @@ def fetch_torchtext_generic(name: str, root: str, train: bool,
         with np.load(cache, allow_pickle=True) as z:
             ids = np.asarray(z["arr_0"], np.int32)
             labels = np.asarray(z["arr_1"], np.int64)
-        labels = labels - labels.min()
-        return TaskDataset(name=name, task="cls", modality="txt",
-                           num_classes=num_classes, n=len(labels),
-                           texts=ids, targets=labels)
+            # the reference-layout filename encodes only seq_len; a
+            # cache written under a different --num_embeddings would
+            # silently return stale encodings, so stamp the vocab size
+            # inside and rebuild on mismatch (an unstamped cache — the
+            # reference's own files — is trusted as-is)
+            cached_ne = int(z["num_embeddings"]) if "num_embeddings" in z \
+                else None
+        if cached_ne is None or cached_ne == (num_embeddings or 0):
+            labels = labels - labels.min()
+            return TaskDataset(name=name, task="cls", modality="txt",
+                               num_classes=num_classes, n=len(labels),
+                               texts=ids, targets=labels)
+        logger.info("[TORCHTEXT] %s cache %s was built with "
+                    "num_embeddings=%d (now %d); rebuilding", name,
+                    os.path.basename(cache), cached_ne,
+                    num_embeddings or 0)
 
     csv_path = os.path.join(root, f"{split}.csv")
     labels, token_lists = _csv_rows(csv_path)
@@ -156,7 +171,8 @@ def fetch_torchtext_generic(name: str, root: str, train: bool,
         ids = _encode(token_lists, _VOCAB_CACHE[key], seq_len)
         if os.access(root, os.W_OK):
             np.savez_compressed(cache, ids.astype(np.int64),
-                                np.asarray(labels))
+                                np.asarray(labels),
+                                num_embeddings=np.int64(num_embeddings or 0))
     return TaskDataset(name=name, task="cls", modality="txt",
                        num_classes=num_classes, n=len(labels),
                        texts=ids, targets=labels)

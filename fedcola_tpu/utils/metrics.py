@@ -28,11 +28,20 @@ def _try_sklearn():
         return None
 
 
-def _to_labels(scores: np.ndarray, use_youdenj: bool = False) -> np.ndarray:
+def _to_labels(scores: np.ndarray, answers: Optional[np.ndarray] = None,
+               use_youdenj: bool = False) -> np.ndarray:
     if scores.ndim > 1 and scores.shape[-1] > 1:
         return scores.argmax(-1)
     s = 1.0 / (1.0 + np.exp(-scores.reshape(-1)))
-    return (s >= 0.5).astype(np.int64)
+    cutoff = 0.5
+    if use_youdenj and answers is not None:
+        # binary: threshold at the Youden-J optimal cutoff when the
+        # youdenj metric is tracked (reference metricszoo.py:36-41)
+        skm = _try_sklearn()
+        if skm is not None:
+            fpr, tpr, th = skm.roc_curve(answers.reshape(-1), s)
+            cutoff = float(th[np.argmax(tpr - fpr)])
+    return (s >= cutoff).astype(np.int64)
 
 
 class BaseMetric:
@@ -52,7 +61,8 @@ class BaseMetric:
 class Acc1(BaseMetric):
     def summarize(self):
         scores, answers = self._cat()
-        return float((_to_labels(scores) == answers).mean())
+        labels = _to_labels(scores, answers, self._use_youdenj)
+        return float((labels == answers).mean())
 
 
 class Acc5(BaseMetric):
@@ -67,7 +77,7 @@ class F1(BaseMetric):
 
     def summarize(self):
         scores, answers = self._cat()
-        labels = _to_labels(scores).reshape(-1)
+        labels = _to_labels(scores, answers, self._use_youdenj).reshape(-1)
         answers = answers.reshape(-1)
         return _prf(answers, labels, "f1", self.average)
 
@@ -75,13 +85,15 @@ class F1(BaseMetric):
 class Precision(BaseMetric):
     def summarize(self):
         scores, answers = self._cat()
-        return _prf(answers, _to_labels(scores), "precision", "weighted")
+        labels = _to_labels(scores, answers, self._use_youdenj)
+        return _prf(answers, labels, "precision", "weighted")
 
 
 class Recall(BaseMetric):
     def summarize(self):
         scores, answers = self._cat()
-        return _prf(answers, _to_labels(scores), "recall", "weighted")
+        labels = _to_labels(scores, answers, self._use_youdenj)
+        return _prf(answers, labels, "recall", "weighted")
 
 
 def _prf(true, pred, kind, average):
@@ -109,8 +121,15 @@ class Auroc(BaseMetric):
         scores, answers = self._cat()
         e = np.exp(scores - scores.max(-1, keepdims=True))
         probs = e / e.sum(-1, keepdims=True)
+        if probs.ndim > 1 and probs.shape[-1] == 2:
+            # binary with [N, 2] logits: sklearn wants the positive-class
+            # score 1-D (the reference's Auroc assumes a single-logit
+            # head and would raise here)
+            probs = probs[:, 1]
         if skm is not None:
             try:
+                if probs.ndim == 1:
+                    return float(skm.roc_auc_score(answers, probs))
                 return float(skm.roc_auc_score(
                     answers, probs, average="weighted", multi_class="ovr",
                     labels=np.arange(probs.shape[-1])))
@@ -123,7 +142,14 @@ class Auprc(BaseMetric):
     def summarize(self):
         skm = _try_sklearn()
         scores, answers = self._cat()
-        s = 1.0 / (1.0 + np.exp(-scores))
+        if scores.ndim > 1 and scores.shape[-1] == 2:
+            # binary with [N, 2] logits -> positive-class score (the
+            # reference's Auprc assumes a single-logit head, sigmoid on
+            # [N, 2] would make sklearn raise -> nan)
+            e = np.exp(scores - scores.max(-1, keepdims=True))
+            s = (e / e.sum(-1, keepdims=True))[:, 1]
+        else:
+            s = 1.0 / (1.0 + np.exp(-scores))
         if skm is not None:
             try:
                 return float(skm.average_precision_score(answers, s,
@@ -233,10 +259,17 @@ class MetricManager:
         self.figures["_count"] += int(count)
 
     def aggregate(self, total_len, curr_step=None):
-        running = {name: m.summarize() for name, m in self.metric_funcs.items()}
-        if self.figures.get("_count"):
-            if "acc1" in self.metric_funcs and not self.metric_funcs["acc1"].scores:
-                running["acc1"] = self.figures["_correct"] / self.figures["_count"]
+        # scalar-tracked metrics (track_scalars) have no collected
+        # score arrays — summarize() would raise on the empty
+        # concatenate, so substitute the scalar ratio (acc1) / nan first
+        running = {}
+        for name, m in self.metric_funcs.items():
+            if m.scores:
+                running[name] = m.summarize()
+            elif name == "acc1" and self.figures.get("_count"):
+                running[name] = self.figures["_correct"] / self.figures["_count"]
+            else:
+                running[name] = float("nan")
         running["loss"] = self.figures["loss"] / max(total_len, 1)
         payload = {"loss": running["loss"],
                    "metrics": {n: running[n] for n in self.metric_funcs}}

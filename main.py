@@ -92,7 +92,6 @@ def main(argv=None):
         # torch.autograd.set_detect_anomaly(True) (main.py:307); the
         # always-on round-level loss-finiteness guard lives in
         # FedAvgServer._train_group
-        import jax
         jax.config.update("jax_debug_nans", True)
     os.makedirs(cfg.log_path, exist_ok=True)
     logger = set_logger(os.path.join(
@@ -117,7 +116,7 @@ def main(argv=None):
         do_trace = cfg.profile_every > 0 and r % cfg.profile_every == 0
         with round_trace(do_trace, cfg.log_path, r):
             server.update()
-        if (r % cfg.eval_every == 0) or (r == cfg.R):
+        if (cfg.eval_every > 0 and r % cfg.eval_every == 0) or (r == cfg.R):
             server.evaluate([])
         if cfg.checkpoint_every and r % cfg.checkpoint_every == 0 \
                 and is_proc0:

@@ -126,9 +126,15 @@ def test_torchtext_generic_agnews(tmp_path):
     # npz cache written with the reference's names and reused
     assert (root / "tr_6.npz").exists() and (root / "te_6.npz").exists()
     z = np.load(root / "tr_6.npz", allow_pickle=True)
-    assert set(z.files) == {"arr_0", "arr_1"}       # reference layout
+    # reference layout (positional arr_0/arr_1 stay readable by the
+    # reference's own loader) + our num_embeddings stamp for staleness
+    assert {"arr_0", "arr_1"} <= set(z.files)
     tr2 = fetch_torchtext_generic("AG_NEWS", str(root), True, seq_len=6)
     np.testing.assert_array_equal(tr2.texts, tr.texts)
+    # a different --num_embeddings must NOT reuse the stale cache
+    tr3 = fetch_torchtext_generic("AG_NEWS", str(root), True, seq_len=6,
+                                  num_embeddings=3)
+    assert tr3.texts.max() <= 2 + 2   # pad/unk + 3 vocab rows
 
 
 def test_torchtext_second_family_and_cap(tmp_path):
