@@ -8,8 +8,13 @@ fedavgserver.py:282-312).
 * warmup filtering: in rounds <= warmup_rounds, keep only
   ``warmup_modality`` clients (fedavgserver.py:307-308).
 
-Randomness uses a dedicated ``random.Random`` (the reference uses the
-globally seeded ``random`` module; ours is explicit for checkpoint/resume).
+Randomness is STATELESS: each call derives its ``random.Random`` from
+``(seed, round_idx, eval_mode)`` (the reference uses the globally seeded
+``random`` module, whose stream depends on everything drawn before it).
+A resumed run therefore samples the same cohorts as an uninterrupted one,
+and eval-round draws cannot perturb the training-round stream.  The key
+is an integer mix (3.12's ``Random`` accepts int/str/bytes seeds only),
+stable across processes.
 """
 
 from __future__ import annotations
@@ -18,7 +23,7 @@ import random
 from typing import Dict, List, Sequence
 
 
-def sample_clients(rng: random.Random,
+def sample_clients(seed: int,
                    client_dataset_of: Sequence[str],
                    client_modality_of: Sequence[str],
                    datasets: Sequence[str],
@@ -32,6 +37,8 @@ def sample_clients(rng: random.Random,
                    eval_fraction: float = 1.0,
                    eval_mode: bool = False) -> List[int]:
     K = len(client_dataset_of)
+    rng = random.Random(int(seed) * 1_000_003 + int(round_idx) * 2
+                        + (1 if eval_mode else 0))
     if equal_sampled and not eval_mode:
         sampled: List[int] = []
         for dataset in datasets:
@@ -51,7 +58,8 @@ def sample_clients(rng: random.Random,
         if n_un == 0:
             return sorted(range(K))
         n = max(int(eval_fraction * n_un), 1)
-        pool = [i for i in range(K) if i not in set(exclude)]
+        excluded = set(exclude)
+        pool = [i for i in range(K) if i not in excluded]
         return sorted(rng.sample(pool, n))
 
     if warmup_modality != "none" and round_idx <= warmup_rounds:

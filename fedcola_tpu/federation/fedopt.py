@@ -31,12 +31,15 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fedcola_tpu.federation.server import FedAvgServer
+from fedcola_tpu.models import naming
 
 logger = logging.getLogger(__name__)
 
@@ -83,6 +86,34 @@ class FedOptServer(FedAvgServer):
         zeros = lambda tree: jax.tree_util.tree_map(jnp.zeros_like, tree)
         self.server_m = {ds: zeros(p) for ds, p in self.global_params.items()}
         self.server_v = {ds: zeros(p) for ds, p in self.global_params.items()}
+
+    def save_checkpoint(self, path: str):
+        # server optimizer moments are round-to-round state: without them
+        # a resumed fedadam/fedyogi run silently restarts from zero
+        # moments while params continue — not the run that was saved
+        super().save_checkpoint(path)
+        for ds in self.global_params:
+            flat = {}
+            for p, name in naming.param_names(self.model_cfgs[ds]):
+                flat[f"m {name}"] = np.asarray(
+                    naming.get_by_path(self.server_m[ds], p))
+                flat[f"v {name}"] = np.asarray(
+                    naming.get_by_path(self.server_v[ds], p))
+            np.savez(os.path.join(path, f"__fedopt_{ds}.npz"), **flat)
+
+    def load_checkpoint(self, path: str):
+        super().load_checkpoint(path)
+        for ds in self.global_params:
+            f = os.path.join(path, f"__fedopt_{ds}.npz")
+            if not os.path.exists(f):
+                continue
+            z = np.load(f)
+            for p, name in naming.param_names(self.model_cfgs[ds]):
+                if f"m {name}" in z:
+                    naming.set_by_path(self.server_m[ds], p,
+                                       jnp.asarray(z[f"m {name}"]))
+                    naming.set_by_path(self.server_v[ds], p,
+                                       jnp.asarray(z[f"v {name}"]))
 
     def update(self):
         old_globals = {ds: p for ds, p in self.global_params.items()}

@@ -25,7 +25,6 @@ from __future__ import annotations
 import json
 import logging
 import os
-import random
 import time
 from collections import defaultdict
 from typing import Dict, List, Optional
@@ -68,7 +67,9 @@ class FedAvgServer:
         self.curr_lr = cfg.lr
         self.results: Dict = defaultdict(dict)
         self.opt_spec = make_optimizer_spec(cfg)
-        self.sampler = random.Random(cfg.seed)
+        # stateless per-round sampling: sample_clients derives its rng
+        # from (seed, round, eval_mode), so resume reproduces cohorts
+        self.sampler = int(cfg.seed)
         self.shuffle_rng = np.random.RandomState(cfg.seed + 1)
         self.key = jax.random.PRNGKey(cfg.seed)
 
@@ -779,6 +780,14 @@ class FedAvgServer:
                 flat[name] = np.asarray(naming.get_by_path(params, p))
             np.savez(os.path.join(path, f"{ds}.npz"),
                      __round__=self.round, __lr__=self.curr_lr, **flat)
+        # host RNG streams: client sampling is stateless (keyed by
+        # seed+round), but the feeder shuffle stream and the jax key are
+        # consumed per round — persist them so a resumed run reproduces
+        # an uninterrupted one exactly
+        st = self.shuffle_rng.get_state()
+        np.savez(os.path.join(path, "__rng__.npz"),
+                 mt_keys=st[1], mt_pos=st[2], mt_has_gauss=st[3],
+                 mt_cached=st[4], jax_key=np.asarray(self.key))
 
     def load_checkpoint(self, path: str):
         for ds in self.global_params:
@@ -792,6 +801,13 @@ class FedAvgServer:
                     naming.set_by_path(params, p, jnp.asarray(z[name]))
             self.round = int(z["__round__"])
             self.curr_lr = float(z["__lr__"])
+        rngf = os.path.join(path, "__rng__.npz")
+        if os.path.exists(rngf):
+            z = np.load(rngf)
+            self.shuffle_rng.set_state(
+                ("MT19937", z["mt_keys"], int(z["mt_pos"]),
+                 int(z["mt_has_gauss"]), float(z["mt_cached"])))
+            self.key = jnp.asarray(z["jax_key"])
 
     def finalize(self):
         cfg = self.cfg

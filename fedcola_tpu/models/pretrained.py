@@ -69,6 +69,17 @@ def _torch_vit_to_stack(sd, cfg, slot: str, params):
     new = dict(params)
     new["emb"] = dict(params["emb"]); new["emb"][slot] = emb
     new["blk"] = dict(params["blk"]); new["blk"][slot] = blk
+    # the shared final LayerNorm loads too: timm's top-level norm.weight/
+    # norm.bias match MAT's `self.norm` by name under the reference's
+    # load_state_dict(strict=False) (mome.py:813)
+    if "norm.weight" in sd:
+        new["norm"] = {"scale": t(sd["norm.weight"]),
+                       "bias": t(sd["norm.bias"])}
+    # NOT loaded (matching the reference's effective behavior): the
+    # 'ours' head remap 'head'->'heads.head' (mome.py:796-799) targets a
+    # name that doesn't exist in MAT (ModuleList heads are
+    # 'heads.{i}.head.*'), so strict=False silently discards it upstream
+    # — classification heads start at random init there too
 
     # after loading, aux re-initialises from the (new) main weights
     # (build_aux wires the model's own blocks as the initial aux source,
@@ -117,13 +128,24 @@ def load_pretrained_vit(cfg, params, src_name: Optional[str]):
             "pretrained checkpoint %s not found locally; proceeding from "
             "random init (no network downloads are attempted)", src_name)
         return params
-    if path.endswith(".npz"):
-        sd = dict(np.load(path))
-    else:
-        import torch
-        sd = torch.load(path, map_location="cpu")
-        if isinstance(sd, dict) and "model" in sd:
-            sd = sd["model"]
-        sd = {k: v.numpy() for k, v in sd.items()}
-    logger.info("loading pretrained %s from %s", src_name, path)
-    return _torch_vit_to_stack(sd, cfg, img_slot, params)
+    try:
+        if path.endswith(".npz"):
+            sd = dict(np.load(path))
+        else:
+            import torch
+            sd = torch.load(path, map_location="cpu")
+            if isinstance(sd, dict) and "model" in sd:
+                sd = sd["model"]
+            sd = {k: (v.detach().float().numpy()
+                      if hasattr(v, "detach") else np.asarray(v))
+                  for k, v in sd.items()}
+        logger.info("loading pretrained %s from %s", src_name, path)
+        return _torch_vit_to_stack(sd, cfg, img_slot, params)
+    except Exception as e:
+        # the cache walk matches by filename substring, so a wrong-format
+        # file (timm augreg .npz with JAX-style keys, a non-ViT .pt) can
+        # land here — keep the documented contract: warn, random init
+        logger.warning(
+            "pretrained checkpoint %s at %s could not be remapped (%s); "
+            "proceeding from random init", src_name, path, e)
+        return params

@@ -31,8 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from fedcola_tpu.ops.common import (batch_arg as _batch_arg,
+                                    interpret as _interpret,
+                                    items_per_program as _largest_ib)
 
 
 def _ln_fwd(x, scale, bias, eps=1e-5):
@@ -437,11 +438,7 @@ def _items_per_program(B: int, N: int, D: int, budget: int) -> int:
     small dots for the scheduler to overlap with VPU softmax work — this is
     where the win is for short sequences (N=40 text)."""
     per_item = N * 3 * D * 4 * 2 + 3 * N * N * 4
-    best = 1
-    for ib in range(2, B + 1):
-        if B % ib == 0 and ib * per_item < budget:
-            best = ib
-    return best
+    return _largest_ib(B, per_item, budget)
 
 
 def _fwd_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj):
@@ -516,11 +513,7 @@ def _save_items_per_program(B: int, N: int, D: int, H: int,
     blocks join the per-item VMEM bill."""
     per_item = (N * 3 * D * 4 * 2 + 3 * N * N * 4
                 + H * N * N * 4 + N * D * 4)
-    best = 1
-    for ib in range(2, B + 1):
-        if B % ib == 0 and ib * per_item < budget:
-            best = ib
-    return best
+    return _largest_ib(B, per_item, budget)
 
 
 def _fwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj, s=None):
@@ -612,8 +605,7 @@ def _bwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, p, cat, da, s=None):
 
 # ------------------------------------------------ custom_vmap + custom_vjp --
 
-def _batch_arg(a, batched, axis_size):
-    return a if batched else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+# _batch_arg is shared: fedcola_tpu.ops.common.batch_arg (imported above)
 
 
 @functools.lru_cache(maxsize=8)

@@ -54,8 +54,9 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865475))
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from fedcola_tpu.ops.common import (batch_arg as _batch_arg,
+                                    interpret as _interpret,
+                                    items_per_program as _largest_ib)
 
 
 # ------------------------------------------------------------- kernels -----
@@ -223,10 +224,7 @@ def _bwd_call(x, w1, b1, w2, do):
 
 # ------------------------------------------------ custom_vmap + custom_vjp --
 
-def _batch_arg(x, batched, axis_size):
-    if batched:
-        return x
-    return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+# _batch_arg is shared: fedcola_tpu.ops.common.batch_arg (imported above)
 
 
 @custom_vmap
@@ -507,11 +505,7 @@ fused_mlp_sublayer.defvjp(_ln_vjp_fwd, _ln_vjp_bwd)
 
 def _mlp_items_per_program(B: int, N: int, Hd: int, budget: int) -> int:
     per_item = N * Hd * 4 * 3          # pre/h/dpre f32 tiles dominate
-    best = 1
-    for ib in range(2, B + 1):
-        if B % ib == 0 and ib * per_item < budget:
-            best = ib
-    return best
+    return _largest_ib(B, per_item, budget)
 
 
 _MLP_VMEM_BUDGET = int(os.environ.get("FEDCOLA_MLP_VMEM", 8 * 1024 * 1024))

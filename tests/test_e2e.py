@@ -216,6 +216,40 @@ def test_fedopt_with_aux_resyncs_exchange():
     assert checked > 0
 
 
+def test_resume_reproduces_uninterrupted_run(tmp_path):
+    """Checkpoint/resume round-trip: 2 rounds straight == 1 round +
+    checkpoint + fresh server + load + 1 round, bit-for-bit.  Covers the
+    stateless sampling, the persisted shuffle-rng/jax-key stream, and
+    (via fedadam) the FedOpt server moments."""
+    import jax
+    cfg = make_cfg(algorithm="fedadam", beta1=0.9, R=2, Ks=[4], Cs=[0.5])
+    rng = np.random.RandomState(cfg.seed)
+    data = load_federated_data(cfg, rng)
+
+    straight = create_server(cfg, data)
+    for r in (1, 2):
+        straight.round = r
+        straight.update()
+
+    a = create_server(cfg, data)
+    a.round = 1
+    a.update()
+    ck = str(tmp_path / "ck")
+    a.save_checkpoint(ck)
+
+    b = create_server(cfg, data)
+    b.load_checkpoint(ck)
+    assert b.round == 1 and np.isclose(b.curr_lr, a.curr_lr)
+    b.round = 2
+    b.update()
+
+    for ds in straight.global_params:
+        la = jax.tree_util.tree_leaves(straight.global_params[ds])
+        lb = jax.tree_util.tree_leaves(b.global_params[ds])
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_local_eval_on_holdouts():
     """--eval_type both: per-client holdout evaluation (the reference's is
     broken for MAT, fedavgclient.py:140 — ours implements the intended

@@ -1,7 +1,6 @@
 """Host-side federation logic: sampling, warmup filtering, scope tables,
 freeze masks, checkpoint roundtrip, config parsing."""
 
-import random
 
 import numpy as np
 import pytest
@@ -13,25 +12,28 @@ from fedcola_tpu.models.mat import MATConfig
 
 
 def test_equal_sampled_per_dataset():
-    rng = random.Random(0)
     ds_of = ["A"] * 8 + ["B"] * 4
     mod_of = ["img"] * 8 + ["txt"] * 4
-    ids = sample_clients(rng, ds_of, mod_of, ["A", "B"],
+    ids = sample_clients(0, ds_of, mod_of, ["A", "B"],
                          {"A": 0.25, "B": 0.5}, 0.1, True, round_idx=10)
     assert len([i for i in ids if i < 8]) == 2     # 0.25 * 8
     assert len([i for i in ids if i >= 8]) == 2    # 0.5 * 4
     assert ids == sorted(ids)
+    # stateless: the same (seed, round) always yields the same cohort,
+    # no matter what was sampled before (checkpoint/resume parity)
+    assert ids == sample_clients(0, ds_of, mod_of, ["A", "B"],
+                                 {"A": 0.25, "B": 0.5}, 0.1, True,
+                                 round_idx=10)
 
 
 def test_warmup_filters_modalities():
-    rng = random.Random(0)
     ds_of = ["A"] * 4 + ["B"] * 4
     mod_of = ["img"] * 4 + ["txt"] * 4
-    ids = sample_clients(rng, ds_of, mod_of, ["A", "B"], {"A": 1.0, "B": 1.0},
+    ids = sample_clients(0, ds_of, mod_of, ["A", "B"], {"A": 1.0, "B": 1.0},
                          1.0, True, round_idx=3, warmup_modality="img",
                          warmup_rounds=5)
     assert all(mod_of[i] == "img" for i in ids)
-    ids = sample_clients(random.Random(0), ds_of, mod_of, ["A", "B"],
+    ids = sample_clients(0, ds_of, mod_of, ["A", "B"],
                          {"A": 1.0, "B": 1.0}, 1.0, True, round_idx=6,
                          warmup_modality="img", warmup_rounds=5)
     assert any(mod_of[i] == "txt" for i in ids)
