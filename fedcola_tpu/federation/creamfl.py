@@ -282,8 +282,7 @@ class CreamflServer(FedAvgServer):
         n_pad = self._pad_to_mesh(n)
         stacked = self._shard_clients(
             _broadcast_stack(self.global_params[ds], n_pad))
-        opt_state = init_opt_state(self.opt_spec, stacked)
-        opt_state["t"] = jnp.zeros((n_pad,), jnp.int32)
+        opt_state = init_opt_state(self.opt_spec, stacked, n_pad)
         pub_fn = self._build_pub_update(ds)
         gp = self.global_params[ds]
         shards = [self.data.client_shards[i] for i in ids]

@@ -294,8 +294,7 @@ class FedAvgServer:
         n_pad = self._pad_to_mesh(n)
         stacked = self._shard_clients(
             _broadcast_stack(self.global_params[ds], n_pad))
-        opt_state = init_opt_state(self.opt_spec, stacked)
-        opt_state["t"] = jnp.zeros((n_pad,), jnp.int32)  # per-client steps
+        opt_state = init_opt_state(self.opt_spec, stacked, n_pad)
         frozen = self._frozen_token(ds, spec.modality)
 
         shards = [self.data.client_shards[i] for i in ids]
@@ -828,7 +827,9 @@ class FedAvgServer:
             import torch
             from fedcola_tpu.models.torch_io import to_torch_state_dict
             for ds, params in self.global_params.items():
-                sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+                # np.array copies: jax buffers are read-only and torch
+                # warns on (and forbids writing to) non-writable tensors
+                sd = {k: torch.from_numpy(np.array(v))
                       for k, v in to_torch_state_dict(
                           self.model_cfgs[ds], params).items()}
                 torch.save(sd, os.path.join(ckpt_dir, f"{ds}.pt"))

@@ -138,11 +138,16 @@ def from_torch_state_dict(cfg: MATConfig, params: Params,
                 rows.append(v.T if transpose else v)
             if ok:
                 put(("blk", s, leaf), np.stack(rows))
-    if "norm.weight" in sd:
+    # strict=False contract everywhere: a group loads only when ALL of
+    # its paired keys are present (the per-depth block loop's `ok`
+    # pattern); a partial/filtered state_dict skips the group instead of
+    # raising KeyError on the missing half
+    if "norm.weight" in sd and "norm.bias" in sd:
         put(("norm", "scale"), sd["norm.weight"])
         put(("norm", "bias"), sd["norm.bias"])
     for i, task in enumerate(cfg.tasks):
-        if task == "cls" and f"heads.{i}.head.weight" in sd:
+        if (task == "cls" and f"heads.{i}.head.weight" in sd
+                and f"heads.{i}.head.bias" in sd):
             put(("head", str(i), "kernel"),
                 np.asarray(sd[f"heads.{i}.head.weight"]).T)
             put(("head", str(i), "bias"), sd[f"heads.{i}.head.bias"])
@@ -154,7 +159,8 @@ def from_torch_state_dict(cfg: MATConfig, params: Params,
             auxs, scales, ok = [], [], True
             for j in range(cfg.depth):
                 base = f"blockses.{main}.{j}.{layer_of[kind]}"
-                if f"{base}.aux_weight" not in sd:
+                if (f"{base}.aux_weight" not in sd
+                        or f"{base}.cross_modal_scale" not in sd):
                     ok = False
                     break
                 auxs.append(np.asarray(sd[f"{base}.aux_weight"]).T)

@@ -54,12 +54,22 @@ def build_library(src_name: str) -> str | None:
     out = os.path.join(_DIR, f".{src_name}.{digest}.{_host_tag()}.so")
     if os.path.exists(out):
         return out
+    # compile to a private temp name and rename into place: a direct
+    # write would leave a truncated .so on a timeout-killed compile (or
+    # under concurrent multi-process builds), and os.path.exists() would
+    # then trust the garbage file forever
+    tmp = f"{out}.tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-pthread", src, "-o", out]
+           "-pthread", src, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)   # atomic on POSIX
         return out
     except Exception as e:  # missing toolchain -> python fallback
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         logger.warning("native build of %s failed (%s); using python "
                        "fallback", src_name, e)
         return None

@@ -97,10 +97,15 @@ def _merge_bh(x):
 
 
 def _pick_group(n_pairs: int, N: int, hd: int, n_bufs: int) -> int:
-    """Largest divisor of n_pairs whose working set fits a VMEM budget."""
+    """Largest divisor of n_pairs whose working set fits a VMEM budget.
+    Returns 0 when even a single (batch, head) pair exceeds the budget —
+    callers must route that shape to the XLA fallback instead of
+    launching a kernel Mosaic cannot allocate."""
     per_pair = n_bufs * N * hd * 4 + 3 * N * N * 4
     budget = 10 * 1024 * 1024
-    g_max = max(1, budget // per_pair)
+    g_max = budget // per_pair
+    if g_max < 1:
+        return 0
     g = 1
     for cand in range(1, min(g_max, n_pairs) + 1):
         if n_pairs % cand == 0:
@@ -113,9 +118,12 @@ def _fa_fwd(q, k, v, scale: float):
     if N > MAX_FUSED_SEQ:
         from fedcola_tpu.ops.attention import _attention_xla
         return _attention_xla(q, k, v, scale), (q, k, v)
+    G = _pick_group(B * H, N, hd, n_bufs=4)
+    if G == 0:   # one pair alone blows the VMEM budget
+        from fedcola_tpu.ops.attention import _attention_xla
+        return _attention_xla(q, k, v, scale), (q, k, v)
     qm = _merge_bh(q * jnp.asarray(scale, q.dtype))
     km, vm = _merge_bh(k), _merge_bh(v)
-    G = _pick_group(B * H, N, hd, n_bufs=4)
     spec = pl.BlockSpec((G, N, hd), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     o = pl.pallas_call(
@@ -143,9 +151,14 @@ def _fa_bwd(scale: float, residuals, do):
         _, vjp = jax.vjp(lambda q_, k_, v_: _attention_xla(q_, k_, v_, scale),
                          q, k, v)
         return vjp(do)
+    G = _pick_group(B * H, N, hd, n_bufs=7)
+    if G == 0:   # one pair alone blows the VMEM budget
+        from fedcola_tpu.ops.attention import _attention_xla
+        _, vjp = jax.vjp(lambda q_, k_, v_: _attention_xla(q_, k_, v_, scale),
+                         q, k, v)
+        return vjp(do)
     qm = _merge_bh(q * jnp.asarray(scale, q.dtype))
     km, vm, dom = _merge_bh(k), _merge_bh(v), _merge_bh(do)
-    G = _pick_group(B * H, N, hd, n_bufs=7)
     spec = pl.BlockSpec((G, N, hd), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(

@@ -286,8 +286,10 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
 
 
 def init_group_opt_states(opt: OptimizerSpec, stacked_params):
-    """Optimizer state for a stacked [n_clients, ...] parameter tree."""
-    return init_opt_state(opt, stacked_params)
+    """Optimizer state for a stacked [n_clients, ...] parameter tree
+    (per-client step counters sized from the leading axis)."""
+    n = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    return init_opt_state(opt, stacked_params, n)
 
 
 # ----------------------------------------------------------------- eval ----

@@ -40,8 +40,14 @@ class OptimizerSpec:
     moment_dtype: str = "float32"
 
 
-def init_opt_state(spec: OptimizerSpec, params):
+def init_opt_state(spec: OptimizerSpec, params, n_clients=None):
+    """Optimizer state for ``params``.  ``n_clients``: when params are a
+    stacked [n, ...] client tree, the step counter becomes a per-client
+    [n] vector (vmap in_axes=0 over the state needs a mapped leaf; a
+    scalar ``t`` would either fail to map or silently share one step
+    count across clients)."""
     mdt = jnp.dtype(spec.moment_dtype)
+    t = jnp.zeros((n_clients,) if n_clients else (), jnp.int32)
     # zeros_like (not jnp.zeros) so moments inherit the params' sharding:
     # params arrive stacked and mesh-sharded over the clients axis, and
     # fresh default-device moments would pile the whole optimizer state
@@ -49,11 +55,10 @@ def init_opt_state(spec: OptimizerSpec, params):
     moments = lambda: jax.tree_util.tree_map(
         lambda x: jnp.zeros_like(x, dtype=mdt), params)
     if spec.name in ("Adam", "AdamW"):
-        return {"m": moments(), "v": moments(),
-                "t": jnp.zeros((), jnp.int32)}
+        return {"m": moments(), "v": moments(), "t": t}
     if spec.name == "SGD":
         return {"b": jax.tree_util.tree_map(jnp.zeros_like, params),
-                "t": jnp.zeros((), jnp.int32)}
+                "t": t}
     raise ValueError(spec.name)
 
 

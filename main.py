@@ -83,10 +83,8 @@ def main(argv=None):
     # persistent compile cache: the fully-unrolled production programs
     # take minutes to compile cold; repeat runs on the same machine reuse
     # them (config.update, not env — jax may already be imported)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax-cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from fedcola_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     if cfg.detect_anomaly:
         # op-level NaN tracing, the jax analog of the reference's
         # torch.autograd.set_detect_anomaly(True) (main.py:307); the

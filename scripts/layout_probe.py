@@ -83,8 +83,7 @@ def build(auto_layout: bool):
     params = init_mat(cfg, jax.random.PRNGKey(0))
     stacked = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (n,) + x.shape) + 0, params)
-    opt_state = init_opt_state(opt, stacked)
-    opt_state["t"] = jnp.zeros((n,), jnp.int32)
+    opt_state = init_opt_state(opt, stacked, n)
     rngs = jax.random.split(jax.random.PRNGKey(1), n)
     lr = jnp.float32(1e-4)
 
@@ -142,10 +141,8 @@ def measure(auto_layout: bool, min_s: float = 20.0):
 
 if __name__ == "__main__":
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax-cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from fedcola_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     variants = sys.argv[1:] or ["control", "auto"]
     for v in variants:
         sps = measure(v == "auto")

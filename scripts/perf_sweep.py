@@ -47,8 +47,7 @@ def measure(cfg_kw, n=2, S=4, B=96, chunks=3):
     params = init_mat(cfg, jax.random.PRNGKey(0))
     stacked = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (n,) + x.shape) + 0, params)
-    opt_state = init_opt_state(opt, stacked)
-    opt_state["t"] = jnp.zeros((n,), jnp.int32)
+    opt_state = init_opt_state(opt, stacked, n)
     update = build_group_update(cfg, spec, opt, None)
     rngs = jax.random.split(jax.random.PRNGKey(1), n)
     lr = jnp.float32(1e-4)

@@ -26,10 +26,8 @@ def run_trace(outdir: str):
     import jax.numpy as jnp
     # persistent compile cache shared with bench.py (the unrolled
     # production program takes minutes to compile cold)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax-cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from fedcola_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from fedcola_tpu.models.mat import MATConfig, init_mat
     from fedcola_tpu.parallel.client_update import GroupSpec, build_group_update
     from fedcola_tpu.parallel.optim import OptimizerSpec, init_opt_state
@@ -54,8 +52,7 @@ def run_trace(outdir: str):
     params = init_mat(cfg, jax.random.PRNGKey(0))
     stacked = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (n,) + x.shape) + 0, params)
-    opt_state = init_opt_state(opt, stacked)
-    opt_state["t"] = jnp.zeros((n,), jnp.int32)
+    opt_state = init_opt_state(opt, stacked, n)
     update = build_group_update(cfg, spec, opt, None)
     rngs = jax.random.split(jax.random.PRNGKey(1), n)
     lr = jnp.float32(1e-4)

@@ -97,8 +97,7 @@ def test_aux_trained_flag_freezes_aux_weights(aux_trained):
     stacked = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (n,) + x.shape) + 0, params)
     opt = OptimizerSpec(name="AdamW")
-    opt_state = init_opt_state(opt, stacked)
-    opt_state["t"] = jnp.zeros((n,), jnp.int32)
+    opt_state = init_opt_state(opt, stacked, n)
     spec = GroupSpec(modality="img", criterion="CrossEntropyLoss")
     update = build_group_update(cfg, spec, opt, None)
     rng = np.random.RandomState(0)
