@@ -33,6 +33,28 @@ def test_flash_attention_matches_xla_fwd_bwd():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_flash_attention_oversized_pair_falls_back():
+    """Shapes whose single (batch, head) working set exceeds the VMEM
+    budget must route to the XLA path (pick_group returns 0) instead of
+    launching a kernel Mosaic cannot allocate."""
+    from fedcola_tpu.ops.flash_attention import (MAX_FUSED_SEQ,
+                                                _pick_group,
+                                                flash_attention)
+    # bwd working set at N=1024, hd=64 is ~14.4 MB > the 10 MB budget
+    assert _pick_group(8, 1024, 64, n_bufs=7) == 0
+    assert _pick_group(8, 197, 64, n_bufs=7) >= 1
+    assert 1024 <= MAX_FUSED_SEQ  # the gate below, not the seq cap, trips
+    B, H, N, hd = 1, 1, 1024, 64
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, N, hd)) for kk in ks)
+    scale = hd ** -0.5
+    o = flash_attention(q, k, v, scale)            # fwd may still fuse
+    g = jax.grad(lambda q_: jnp.sum(
+        flash_attention(q_, k, v, scale)))(q)      # bwd takes the fallback
+    assert np.isfinite(np.asarray(o)).all()
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_cross_entropy_matches_torch():
     import torch
     logits = np.random.RandomState(0).randn(16, 7).astype(np.float32)
