@@ -188,6 +188,17 @@ def get_tokenizer(data_path: Optional[str] = None,
         path = os.path.join(data_path, VOCABS[dataset])
         if os.path.exists(path):
             return WordPieceTokenizer.from_vocab_file(path)
+    # any dataset root that ships a vocab.txt wins over the fallbacks:
+    # the reference uses bert-base-uncased for Coco (a download this
+    # environment can't make), and whether a cached copy exists is
+    # machine state — a run's learnability must not silently depend on
+    # it when the data directory provides a vocabulary (real COCO trees
+    # don't ship one, so the reference path is unchanged there)
+    if data_path is not None:
+        path = os.path.join(data_path, "vocab.txt")
+        if os.path.exists(path):
+            logger.info("[TOKENIZER] %s: using %s", dataset, path)
+            return WordPieceTokenizer.from_vocab_file(path)
     # the model's word-embedding table is sized by VOCAB_SIZES (registry
     # builds vocab_size=VOCAB_SIZES[dataset]); a fallback tokenizer with
     # a bigger vocab would emit out-of-range ids that XLA's clamped

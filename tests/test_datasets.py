@@ -194,6 +194,13 @@ def test_fixture_generators_load_through_real_fetchers(tmp_path):
 
     croot = coco_fixture(str(tmp_path / "coco"), 4, 3, 24)
     tok = get_tokenizer(data_path=croot, dataset="Coco")
+    # the fixture's vocab.txt must win over the fallback chain: with the
+    # synthetic stand-in every caption is all-[UNK] and retrieval has no
+    # signal (a run's learnability must not depend on whether a cached
+    # bert vocab happens to exist on the machine)
+    a = tok.encode("a photo number 1 caption 0 of several things", 12)
+    b = tok.encode("a photo number 2 caption 0 of several things", 12)
+    assert not (a == b).all()
     ds = fetch_coco(croot, train=True, tokenizer=tok, seq_len=12,
                     image_size=24)
     assert ds.n == 20 and ds.n_images == 4
