@@ -389,7 +389,11 @@ def parse_args(argv=None) -> ExperimentConfig:
     # out_modality_scales: reference uses eval() (main.py:282); parse via json
     raw = d.get("out_modality_scales", "[1]")
     if isinstance(raw, str):
-        d["out_modality_scales"] = [float(x) for x in json.loads(raw)]
+        parsed = json.loads(raw)
+        # the reference's eval() tolerates a bare scalar ('1'); match it
+        if not isinstance(parsed, list):
+            parsed = [parsed]
+        d["out_modality_scales"] = [float(x) for x in parsed]
     cfg = ExperimentConfig(**{k: v for k, v in d.items()
                               if k in {f.name for f in dataclasses.fields(ExperimentConfig)}})
     return check_args(cfg)
@@ -462,17 +466,31 @@ def check_args(cfg: ExperimentConfig) -> ExperimentConfig:
                 "summed K (same population: the server keys models and "
                 "aggregation by dataset name)")
         seen.add(d)
-    # broadcast per-dataset sampling fractions (fedavgserver.py:137-142)
+    if cfg.seq_len < 2:
+        raise ValueError(f"--seq_len {cfg.seq_len} is too short: every "
+                         "encoding carries [CLS] and [SEP]")
+    # broadcast per-dataset sampling fractions (fedavgserver.py:137-142);
+    # a partial list (neither 1 nor one-per-client-dataset) would
+    # silently truncate in the server's zip and KeyError in round 1
     n_client_datasets = max(len(cfg.client_datasets), 1)
-    if len(cfg.Cs) == 1:
-        cfg.Cs = list(cfg.Cs) * n_client_datasets
+
+    def _broadcast(name, vals):
+        if len(vals) == 1:
+            return list(vals) * n_client_datasets
+        if len(vals) != n_client_datasets:
+            raise ValueError(
+                f"--{name} has {len(vals)} entries but there are "
+                f"{n_client_datasets} client datasets; pass one value or "
+                "one per client dataset")
+        return list(vals)
+
+    cfg.Cs = _broadcast("Cs", cfg.Cs)
     # broadcast out_modality_scales (main.py:282-284 broadcasts to
     # len(modalities)-1; we broadcast to the number of client datasets, which
     # is what _aggregate indexes with: fedavgserver.py:816)
-    if len(cfg.out_modality_scales) == 1:
-        cfg.out_modality_scales = list(cfg.out_modality_scales) * n_client_datasets
+    cfg.out_modality_scales = _broadcast("out_modality_scales",
+                                         cfg.out_modality_scales)
     if cfg.multi_task:
-        if len(cfg.Ks) == 1:
-            cfg.Ks = list(cfg.Ks) * n_client_datasets
+        cfg.Ks = _broadcast("Ks", cfg.Ks)
         cfg.K = int(sum(cfg.Ks[:n_client_datasets]))
     return cfg

@@ -46,6 +46,9 @@ def _vocab_handle(tok) -> int:
     share one handle, and a GC'd tokenizer can't alias a new object into the
     wrong handle.  Handles live for the process (bounded by the number of
     distinct vocabs, which is tiny: one per dataset family)."""
+    cached = getattr(tok, "_native_vocab_key", None)
+    if cached is not None and cached in _handles:
+        return _handles[cached]
     import hashlib
     items = sorted(tok.vocab.items(), key=lambda kv: kv[1])
     # Serialize with explicit gap placeholders: vocab files may contain
@@ -61,12 +64,25 @@ def _vocab_handle(tok) -> int:
     if key not in _handles:
         lib = _load()
         _handles[key] = ctypes.c_void_p(lib.wp_build(blob, len(blob)))
+    # memoize the content digest on the tokenizer so repeat encode_batch
+    # calls skip the O(V log V) sort + full-blob hash (the vocab is
+    # immutable after construction); the handle map stays content-keyed
+    tok._native_vocab_key = key
     return _handles[key]
 
 
 def encode_batch(tok, texts: List[str], max_length: int) -> np.ndarray:
     """Returns [n, max_length] int32 ids; mixed ASCII/Unicode batches are
     split between the native and Python paths."""
+    # the C++ encoder implements the DEFAULT tokenizer semantics only
+    # (lowercasing on, 100-char word cap) and needs room for [CLS]/[SEP];
+    # any other configuration must take the Python reference path — a
+    # silent semantic mismatch would corrupt ids with no exception for
+    # the caller's except-fallback to catch
+    if (not tok.do_lower_case or tok.max_chars_per_word != 100
+            or max_length < 2):
+        raise RuntimeError("native path supports default tokenizer "
+                           "semantics and max_length >= 2 only")
     lib = _load()
     handle = _vocab_handle(tok)
 

@@ -103,6 +103,7 @@ void encode_one(const Vocab& v, const char* text, int64_t len,
     }
   }
   flush_word();
+  if (max_len < 2) return;  // no room for [CLS]/[SEP]; caller validates
   int32_t n = static_cast<int32_t>(ids.size());
   if (n > max_len - 2) n = max_len - 2;
   out[0] = cls;

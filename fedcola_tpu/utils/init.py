@@ -31,7 +31,16 @@ def _is_kernel(path) -> bool:
 
 
 def _is_bias(path) -> bool:
+    """Linear/Conv biases only: torch's ``init_func`` matches
+    Linear/Conv/BatchNorm module classes, so LayerNorm biases
+    (norm1_bias / norm2_bias / the shared norm / embedding LN) must stay
+    untouched — zeroing them would silently wipe trained values on the
+    legacy-load path."""
     leaf = path[-1]
+    if "norm" in leaf or leaf.startswith("ln"):
+        return False
+    if any("norm" in str(p) for p in path[:-1]):
+        return False
     return leaf in ("bias", "patch_bias") or leaf.endswith("_bias")
 
 
@@ -39,8 +48,10 @@ def _init_matrix(rng, shape, init_type: str, gain: float):
     """One [in, out] kernel.  fan_in/fan_out as torch sees them on the
     transposed [out, in] weight."""
     if len(shape) == 4:                      # [P, P, C, D] patch conv
-        fan_in = shape[0] * shape[1] * shape[2]
-        fan_out = shape[3]
+        # torch _calculate_fan_in_and_fan_out on Conv2d [D, C, P, P]:
+        # fan = fmaps * receptive_field, for BOTH directions
+        fan_in = shape[2] * shape[0] * shape[1]
+        fan_out = shape[3] * shape[0] * shape[1]
     else:
         fan_in, fan_out = shape[-2], shape[-1]
     if init_type == "normal":

@@ -31,7 +31,13 @@ def set_logger(path: str | None = None, level=logging.INFO) -> logging.Logger:
         "%(asctime)s [%(levelname)s] %(message)s", "%m/%d %H:%M:%S")
     root = logging.getLogger("fedcola_tpu")
     root.setLevel(level)
+    # repeated calls (tests, resume re-init) must not leak the previous
+    # FileHandler's fd; and records must not also propagate to the root
+    # logger (a library's basicConfig would double-print every line)
+    for h in root.handlers:
+        h.close()
     root.handlers.clear()
+    root.propagate = False
     sh = logging.StreamHandler(sys.stdout)
     sh.setFormatter(fmt)
     root.addHandler(sh)

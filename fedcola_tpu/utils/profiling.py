@@ -35,9 +35,13 @@ class Timer:
     @contextlib.contextmanager
     def section(self, name: str):
         t0 = time.perf_counter()
-        yield
-        self.sections[name] = self.sections.get(name, 0.0) \
-            + time.perf_counter() - t0
+        try:
+            yield
+        finally:
+            # record partial time even when the body raises (a caught
+            # exception upstream would otherwise lose the section)
+            self.sections[name] = self.sections.get(name, 0.0) \
+                + time.perf_counter() - t0
 
     def summary(self) -> str:
         total = sum(self.sections.values())

@@ -19,10 +19,3 @@ def set_seed(seed: int):
     np.random.seed(seed)
     import jax
     return jax.random.PRNGKey(seed)
-
-
-def make_rngs(seed: int):
-    """Independent host RNG streams: (sampler, splitter, shuffler)."""
-    return (random.Random(seed),
-            np.random.RandomState(seed),
-            np.random.RandomState(seed + 1))

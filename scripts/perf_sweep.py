@@ -76,6 +76,11 @@ VARIANTS = {
     "unroll12_kernel": {"scan_unroll": 12, "remat_policy": "kernel"},
     "unroll12_lnmlp": {"scan_unroll": 12},  # LN-fused MLP now default in-code
     "unroll4": {"scan_unroll": 4},
+    # scale-up probe: ViT-base tower (86M params; hd stays 64)
+    "vitbase": {"embed_dim": 768, "num_heads": 12, "scan_unroll": 12,
+                "drop_path_rate": 0.1},
+    "vitbase_save": {"embed_dim": 768, "num_heads": 12, "scan_unroll": 12,
+                     "drop_path_rate": 0.1, "remat_policy": "save_attn"},
 }
 
 if __name__ == "__main__":

@@ -59,6 +59,21 @@ def test_native_matches_python():
     np.testing.assert_array_equal(fast, slow)
 
 
+def test_non_default_tokenizer_takes_python_path():
+    """The C++ encoder hardcodes default semantics (lowercasing, 100-char
+    word cap); a cased tokenizer must NOT route through it — a silent
+    lowercase would corrupt ids with no exception to catch.  encode_batch
+    must still produce the Python reference's output."""
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3,
+             "Hello": 4, "hello": 5, "world": 6}
+    tok = WordPieceTokenizer(vocab, do_lower_case=False)
+    out = tok.encode_batch(["Hello world", "hello world"], 8)
+    ref = np.stack([tok.encode(t, 8) for t in ["Hello world",
+                                               "hello world"]])
+    np.testing.assert_array_equal(out, ref)
+    assert out[0][1] == 4 and out[1][1] == 5   # case preserved
+
+
 def test_native_handles_vocab_gaps_and_del_char(tmp_path):
     """Regression: vocab.txt blank lines create id gaps (line-number ids),
     and DEL (0x7F) is ASCII but must be dropped as a control char on the
