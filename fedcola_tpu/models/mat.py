@@ -107,18 +107,31 @@ class MATConfig:
     def hidden_dim(self) -> int:
         return int(self.embed_dim * self.mlp_ratio)
 
+    # the fused kernels' blocking is tuned for ViT-small-class widths:
+    # above this embed_dim the backward kernels' f32 dW accumulator
+    # blocks alone ([D, 4D] + [4D, D] ≈ 19 MB at D=768) exceed v5e's
+    # 16 MB scoped VMEM, so larger models run the unfused XLA path
+    # (measured: D=768 fails Mosaic allocation in both attention-save
+    # and MLP backward).  Raising this requires grid-splitting the dW
+    # spill — future kernel work, not a config toggle.
+    FUSED_MAX_EMBED_DIM = 512
+
     @property
     def fused_mlp_ok(self) -> bool:
         """The fused MLP's dW DMA spill requires 128-lane-aligned dims
-        (Mosaic memref slices): ViT-small/base qualify, tiny/toy don't."""
+        (Mosaic memref slices): ViT-small qualifies, tiny/toy don't, and
+        base-class widths exceed the VMEM blocking (see
+        FUSED_MAX_EMBED_DIM)."""
         return (self.use_fused_mlp and self.embed_dim % 128 == 0
-                and self.hidden_dim % 128 == 0)
+                and self.hidden_dim % 128 == 0
+                and self.embed_dim <= self.FUSED_MAX_EMBED_DIM)
 
     @property
     def fused_attn_ok(self) -> bool:
         """Fully fused attention sublayer (LN1+qkv+attention+proj) — same
-        alignment constraint as the fused MLP."""
-        return self.use_pallas and self.embed_dim % 128 == 0
+        alignment and width constraints as the fused MLP."""
+        return (self.use_pallas and self.embed_dim % 128 == 0
+                and self.embed_dim <= self.FUSED_MAX_EMBED_DIM)
 
     @property
     def main_slot(self) -> int:

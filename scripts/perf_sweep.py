@@ -76,11 +76,12 @@ VARIANTS = {
     "unroll12_kernel": {"scan_unroll": 12, "remat_policy": "kernel"},
     "unroll12_lnmlp": {"scan_unroll": 12},  # LN-fused MLP now default in-code
     "unroll4": {"scan_unroll": 4},
-    # scale-up probe: ViT-base tower (86M params; hd stays 64)
+    # scale-up probe: ViT-base tower (86M params; hd stays 64).  Runs the
+    # XLA+flash fallback (FUSED_MAX_EMBED_DIM gates the fused sublayers
+    # off above D=512); needs n=1 — two stacked base clients OOM HBM at
+    # B=96 under save_attn remat.  Run as: perf_sweep.py vitbase
     "vitbase": {"embed_dim": 768, "num_heads": 12, "scan_unroll": 12,
                 "drop_path_rate": 0.1},
-    "vitbase_save": {"embed_dim": 768, "num_heads": 12, "scan_unroll": 12,
-                     "drop_path_rate": 0.1, "remat_policy": "save_attn"},
 }
 
 if __name__ == "__main__":
@@ -92,5 +93,6 @@ if __name__ == "__main__":
             print(f"{name:16s} {sps:9.1f} samples/s ({sps/n:.1f}/client)",
                   flush=True)
             continue
-        sps = measure(VARIANTS[name])
+        sps = measure(VARIANTS[name],
+                      n=1 if name.startswith("vitbase") else 2)
         print(f"{name:16s} {sps:9.1f} samples/s", flush=True)
