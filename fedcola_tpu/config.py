@@ -438,6 +438,13 @@ def check_args(cfg: ExperimentConfig) -> ExperimentConfig:
                          f"supported: {sorted(known_criteria)} "
                          "(reference validates against torch.nn names, "
                          "src/utils.py:212-230)")
+    if cfg.criterion == "Seq2SeqLoss":
+        raise ValueError(
+            "Seq2SeqLoss needs [B, L, V] sequence logits, which no MAT "
+            "head emits — upstream its is_seq2seq flag only fires for "
+            "dead dataset branches (src/utils.py:249-252) and a MAT run "
+            "would crash in the loss; the op itself lives on in "
+            "ops.losses.seq2seq_ce")
     # binary-classification rewrite (src/utils.py:259-261): the reference
     # runs check_args AFTER data loading, when args.num_classes holds the
     # LAST dataset's class count — a binary final dataset flips the global

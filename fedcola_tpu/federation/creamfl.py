@@ -52,7 +52,8 @@ from fedcola_tpu.federation import aggregate as agg
 from fedcola_tpu.federation.server import FedAvgServer, _broadcast_stack
 from fedcola_tpu.models.mat import mat_apply
 from fedcola_tpu.ops.losses import cross_entropy
-from fedcola_tpu.parallel.client_update import preprocess_images
+from fedcola_tpu.parallel.client_update import (init_group_opt_states,
+                                                preprocess_images)
 from fedcola_tpu.parallel.optim import (OptimizerSpec, init_opt_state,
                                         opt_update)
 
@@ -282,7 +283,7 @@ class CreamflServer(FedAvgServer):
         n_pad = self._pad_to_mesh(n)
         stacked = self._shard_clients(
             _broadcast_stack(self.global_params[ds], n_pad))
-        opt_state = init_opt_state(self.opt_spec, stacked, n_pad)
+        opt_state = init_group_opt_states(self.opt_spec, stacked)
         pub_fn = self._build_pub_update(ds)
         gp = self.global_params[ds]
         shards = [self.data.client_shards[i] for i in ids]

@@ -44,8 +44,9 @@ from fedcola_tpu.federation.aux import exchange_aux_weights, fold_aux_into_uploa
 from fedcola_tpu.models import naming
 from fedcola_tpu.models.registry import create_model
 from fedcola_tpu.parallel.client_update import (GroupSpec, build_eval_forward,
-                                                build_group_update)
-from fedcola_tpu.parallel.optim import make_optimizer_spec, init_opt_state
+                                                build_group_update,
+                                                init_group_opt_states)
+from fedcola_tpu.parallel.optim import make_optimizer_spec
 from fedcola_tpu.utils.metrics import MetricManager
 
 logger = logging.getLogger(__name__)
@@ -294,7 +295,7 @@ class FedAvgServer:
         n_pad = self._pad_to_mesh(n)
         stacked = self._shard_clients(
             _broadcast_stack(self.global_params[ds], n_pad))
-        opt_state = init_opt_state(self.opt_spec, stacked, n_pad)
+        opt_state = init_group_opt_states(self.opt_spec, stacked)
         frozen = self._frozen_token(ds, spec.modality)
 
         shards = [self.data.client_shards[i] for i in ids]

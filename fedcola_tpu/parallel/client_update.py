@@ -77,7 +77,11 @@ def preprocess_images(x: jnp.ndarray, spec: GroupSpec,
     x = x.astype(jnp.float32) / 255.0
     if spec.imnorm:
         x = (x - 0.5) / 0.5
-    if spec.resize_to is not None and x.shape[1] != spec.resize_to:
+    # both spatial dims: a non-square input whose height happens to match
+    # must still be resized (square-ness is not an invariant of future
+    # path-backed datasets)
+    if (spec.resize_to is not None
+            and x.shape[1:3] != (spec.resize_to, spec.resize_to)):
         B = x.shape[0]
         x = jax.image.resize(
             x, (B, spec.resize_to, spec.resize_to, x.shape[-1]), "bilinear")
@@ -142,11 +146,14 @@ def resident_gather(spec: GroupSpec, data, idx, valid=None):
 def _cls_criterion(name: str):
     """Criterion lookup by torch.nn name (reference fedavgclient.py:23,
     incl. the monkey-patched losses src/utils.py:286-315)."""
+    # Seq2SeqLoss (ops.losses.seq2seq_ce) is deliberately absent: it
+    # needs [B, L, V] logits, which no MAT head emits — the reference's
+    # seq2seq flag only ever fires for its dead dataset branches
+    # (src/utils.py:249-252); check_args rejects the criterion loudly
     return {
         "CrossEntropyLoss": losses.cross_entropy,
         "PainlessBCEWithLogitsLoss": losses.painless_bce,
         "BCEWithLogitsLoss": losses.painless_bce,
-        "Seq2SeqLoss": losses.seq2seq_ce,
         "SegLoss": losses.seg_loss,
     }[name]
 
@@ -160,11 +167,27 @@ def _mm_criterion(name: str):
 
 
 def _count_correct(logits, y, valid):
-    """Valid-row correct count; supports [B, C] and [B, L, V] logits."""
-    hits = jnp.argmax(logits, -1) == y
-    if hits.ndim > valid.ndim:
-        valid = valid[:, None]
-    return jnp.sum(hits & valid)
+    """Valid-row correct count for [B, C] cls logits (MAT heads emit cls
+    logits or retrieval features only, mat.py heads)."""
+    return jnp.sum((jnp.argmax(logits, -1) == y) & valid)
+
+
+def _route_inputs(cfg: MATConfig, spec: GroupSpec, batch, dtype):
+    """Modality-routed MAT input slots for inference — the ONE routing
+    shared by the central and per-client eval paths (the training twin is
+    ``_local_loss``, which additionally threads train/rng).  Returns
+    ``(ins, out_slot)`` where ``out_slot`` is the logits slot for
+    uni-modal groups and ``None`` for img+txt (feat_out pairs)."""
+    ins = [None] * len(cfg.modalities)
+    if spec.modality == "img":
+        ins[spec.img_slot] = preprocess_images(batch["x"], spec, dtype)
+        return ins, spec.img_slot
+    if spec.modality == "txt":
+        ins[spec.txt_slot] = batch["x"]
+        return ins, spec.txt_slot
+    ins[spec.img_slot] = preprocess_images(batch["x"], spec, dtype)
+    ins[spec.txt_slot] = batch["y"]          # token ids ride the target slot
+    return ins, None
 
 
 def _local_loss(cfg: MATConfig, spec: GroupSpec, params, batch,
@@ -307,15 +330,9 @@ def build_eval_forward(cfg: MATConfig, spec: GroupSpec,
         dtype = jnp.dtype(cfg.compute_dtype)
         if resident:
             batch = resident_gather(spec, data, batch["idx"])
-        ins = [None] * len(cfg.modalities)
-        if spec.modality == "img":
-            ins[spec.img_slot] = preprocess_images(batch["x"], spec, dtype)
-            return mat_apply(cfg, params, ins)[spec.img_slot]
-        if spec.modality == "txt":
-            ins[spec.txt_slot] = batch["x"]
-            return mat_apply(cfg, params, ins)[spec.txt_slot]
-        ins[spec.img_slot] = preprocess_images(batch["x"], spec, dtype)
-        ins[spec.txt_slot] = batch["y"]
+        ins, slot = _route_inputs(cfg, spec, batch, dtype)
+        if slot is not None:
+            return mat_apply(cfg, params, ins)[slot]
         outs = mat_apply(cfg, params, ins, feat_out=True)
         return outs[spec.img_slot], outs[spec.txt_slot]
 
@@ -337,31 +354,23 @@ def build_local_eval(cfg: MATConfig, spec: GroupSpec):
     ``MetricManager.track``'s loss*n weighting (src/utils.py:339,347).
     """
     dtype = jnp.dtype(cfg.compute_dtype)
-    from fedcola_tpu.ops.losses import cross_entropy
 
     def client_fn(params, idx, valid, data):
         def body(carry, xs):
             ls, cs, ns = carry
             i, v = xs
             batch = resident_gather(spec, data, i, v)
-            ins = [None] * len(cfg.modalities)
-            if spec.modality == "img+txt":
-                ins[spec.img_slot] = preprocess_images(batch["x"], spec,
-                                                       dtype)
-                ins[spec.txt_slot] = batch["y"]
+            ins, slot = _route_inputs(cfg, spec, batch, dtype)
+            if slot is None:
                 outs = mat_apply(cfg, params, ins, feat_out=True)
                 loss = _mm_criterion(spec.criterion)(
                     outs[spec.img_slot], outs[spec.txt_slot], v)
                 correct = jnp.zeros((), jnp.int32)
             else:
-                slot = spec.img_slot if spec.modality == "img" \
-                    else spec.txt_slot
-                ins[slot] = preprocess_images(batch["x"], spec, dtype) \
-                    if spec.modality == "img" else batch["x"]
                 logits = mat_apply(cfg, params, ins)[slot]
                 # per-client eval loss is CE regardless of the training
                 # criterion (matches the serial path / reference intent)
-                loss = cross_entropy(logits, batch["y"], v)
+                loss = losses.cross_entropy(logits, batch["y"], v)
                 correct = _count_correct(logits, batch["y"], v)
             nv = jnp.sum(v).astype(jnp.float32)
             return (ls + loss * nv, cs + correct.astype(jnp.float32),
