@@ -215,6 +215,12 @@ class ExperimentConfig:
     profile_every: int = 0                   # jax.profiler trace every N rounds
     detect_anomaly: bool = False             # jax_debug_nans op-level tracing
     moment_dtype: str = "float32"            # Adam moment storage (bfloat16 halves opt-state HBM)
+    # FedOpt-family server step size.  None = this round's --lr (the
+    # reference's dormant classes share the one lr kwarg), but the FedOpt
+    # paper (Reddi et al. 2021) tunes the server lr separately (~0.1-1);
+    # at the canonical client lr 1e-4 the adaptive step caps per-element
+    # movement at ~1e-4/round, far slower than plain averaging
+    server_lr: Optional[float] = None
     synthetic_data: bool = False             # synthetic data plane (benchmarks)
     wandb: bool = False
     num_classes: Optional[int] = None        # filled by the data plane
@@ -367,6 +373,7 @@ def _add_tpu_flags(p: argparse.ArgumentParser) -> None:
     add("--checkpoint_every", type=int, default=0)
     add("--profile_every", type=int, default=0)
     add("--detect_anomaly", action="store_true")
+    add("--server_lr", type=float, default=None)
     add("--moment_dtype", type=str, default="float32",
         choices=["float32", "bfloat16"])
     add("--synthetic_data", action="store_true")

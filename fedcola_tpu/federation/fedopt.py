@@ -21,10 +21,12 @@ fedavg.py:44-55) and the server state update follows the FedOpt family
 Defaults: b1 = ``--beta1`` taken literally (server momentum flag,
 main.py:265; the CLI default 0.0 means *no* server momentum — pass
 ``--beta1 0.9`` for the FedOpt-paper setting), b2 = 0.99, tau = 1e-3,
-server lr = ``--lr`` at this round's value (the decay applies after the
-step, like the client schedule).  The reference's dormant classes read
-the same ``opt_kwargs``; their unset v0/tau would crash — documented
-quirk.
+server lr = ``--server_lr`` when given (the paper tunes it separately,
+~0.1-1) else ``--lr`` at this round's value (the decay applies after
+the step, like the client schedule; the reference's dormant classes
+read the one shared lr kwarg — their unset v0/tau would crash, a
+documented quirk).  Sanity anchor: ``fedavgm --beta1 0 --server_lr 1``
+is exactly the plain FedAvg aggregate.
 """
 
 from __future__ import annotations
@@ -117,9 +119,11 @@ class FedOptServer(FedAvgServer):
 
     def update(self):
         old_globals = {ds: p for ds, p in self.global_params.items()}
-        # super().update() decays curr_lr at its end; the server step for
-        # THIS round uses this round's lr, same as the clients did
-        round_lr = self.curr_lr
+        # server step size: --server_lr when given (the FedOpt paper
+        # tunes it separately, ~0.1-1), else this round's client lr
+        # (super().update() decays curr_lr at its end, so capture now)
+        round_lr = (self.cfg.server_lr if self.cfg.server_lr is not None
+                    else self.curr_lr)
         sampled = super().update()
         if not sampled:
             return sampled

@@ -183,6 +183,32 @@ def test_fedopt_step_semantics():
     np.testing.assert_allclose(ng["w"], [1.005, 1.99], rtol=1e-6)
 
 
+def test_server_lr_identity_anchor():
+    """--server_lr wiring check via the closed form: fedavgm with
+    beta1=0 and server_lr=1 applies g + 1*(aggregate - g) — exactly the
+    plain FedAvg aggregate.  Sampling is stateless, so a FedAvgServer
+    over the same data/seed/round produces the identical cohort and
+    aggregate to compare against."""
+    import jax
+    cfg_m = make_cfg(algorithm="fedavgm", beta1=0.0, server_lr=1.0,
+                     R=1, Ks=[4], Cs=[0.5])
+    cfg_a = make_cfg(algorithm="fedavg", R=1, Ks=[4], Cs=[0.5])
+    rng = np.random.RandomState(cfg_a.seed)
+    data = load_federated_data(cfg_a, rng)
+    sa = create_server(cfg_a, data)
+    sa.round = 1
+    sa.update()
+    sm = create_server(cfg_m, data)
+    sm.round = 1
+    sm.update()
+    for ds in sa.global_params:
+        la = jax.tree_util.tree_leaves(sa.global_params[ds])
+        lm = jax.tree_util.tree_leaves(sm.global_params[ds])
+        for x, y in zip(la, lm):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-6, atol=1e-6)
+
+
 def test_fedopt_with_aux_resyncs_exchange():
     """Regression: the fedopt server step runs BEFORE the aux exchange is
     final — aux weights must end the round as exact copies of the other
