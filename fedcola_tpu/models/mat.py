@@ -107,14 +107,16 @@ class MATConfig:
     def hidden_dim(self) -> int:
         return int(self.embed_dim * self.mlp_ratio)
 
-    # the fused kernels' blocking is tuned for ViT-small-class widths:
-    # above this embed_dim the backward kernels' f32 dW accumulator
-    # blocks alone ([D, 4D] + [4D, D] ≈ 19 MB at D=768) exceed v5e's
-    # 16 MB scoped VMEM, so larger models run the unfused XLA path
-    # (measured: D=768 fails Mosaic allocation in both attention-save
-    # and MLP backward).  Raising this requires grid-splitting the dW
-    # spill — future kernel work, not a config toggle.
-    FUSED_MAX_EMBED_DIM = 512
+    # Widths above 512 need Mosaic's per-kernel scoped-VMEM limit raised
+    # (the backward kernels' f32 dW accumulators — [D, 4D] + [4D, D]
+    # ≈ 19 MB at D=768 — exceed the ~16 MB default check, though v5e
+    # physically has 128 MB VMEM/core): ops/common.wide_compiler_params
+    # passes vmem_limit_bytes=96MB for D>512, measured 131.8 TF/s
+    # incl-recompute on the D=768 MLP backward (scripts/
+    # vmem_limit_probe3.py).  The cap now only excludes widths whose
+    # accumulators approach physical VMEM (D=1024: ~33 MB dW + weights
+    # + tiles still fits; D>1024 untested/unregistered).
+    FUSED_MAX_EMBED_DIM = 1024
 
     @property
     def fused_mlp_ok(self) -> bool:

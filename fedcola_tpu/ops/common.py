@@ -4,8 +4,33 @@ batching-rule fix cannot silently miss a sibling file."""
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+# Mosaic's default scoped-VMEM allocation check (~16 MB) rejects the
+# backward kernels' f32 dW accumulators at base-class widths
+# ([D,4D]+[4D,D] ~= 19 MB at D=768) even though v5e physically has
+# 128 MB VMEM per core.  Raising the per-kernel limit unlocks those
+# widths; 96 MB (~3.5x the D=768 bill) leaves Mosaic room to keep
+# double-buffering — measured on the real chip (scripts/
+# vmem_limit_probe3.py): the D=768 MLP backward runs 131.8 TF/s
+# incl-recompute at 96 MB vs 47.1 TF/s at a bare-minimum 32 MB vs
+# Mosaic allocation FAILURE at the default.
+_WIDE_VMEM_LIMIT = int(os.environ.get(
+    "FEDCOLA_WIDE_VMEM_LIMIT_MB", 96)) * 1024 * 1024
+
+
+def wide_compiler_params(embed_dim: int):
+    """``compiler_params`` for a fused-kernel ``pallas_call``: None for
+    ViT-small-class widths (the tuned regime keeps Mosaic's default
+    VMEM accounting), a raised ``vmem_limit_bytes`` above D=512 where
+    the dW accumulators outgrow the default check."""
+    if embed_dim <= 512:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_WIDE_VMEM_LIMIT)
 
 
 def interpret() -> bool:

@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fedcola_tpu.ops.common import (batch_arg as _batch_arg,
                                     interpret as _interpret,
-                                    items_per_program as _largest_ib)
+                                    items_per_program as _largest_ib,
+                                    wide_compiler_params as _wide_params)
 
 
 def _ln_fwd(x, scale, bias, eps=1e-5):
@@ -465,6 +466,7 @@ def _fwd_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj):
             transcendentals=n * B * H * N * N,
         ),
         interpret=_interpret(),
+        compiler_params=_wide_params(D),
     )(x, lns, lnb, wqkv, bqkv, wproj, bproj)
 
 
@@ -504,6 +506,7 @@ def _bwd_call(H, x, lns, lnb, wqkv, bqkv, wproj, da):
             transcendentals=2 * n * B * H * N * N,
         ),
         interpret=_interpret(),
+        compiler_params=_wide_params(D),
     )(x, lns, lnb, wqkv, bqkv, wproj, da)
 
 
@@ -552,6 +555,7 @@ def _fwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, bproj, s=None):
             transcendentals=n * B * H * N * N,
         ),
         interpret=_interpret(),
+        compiler_params=_wide_params(D),
     )(*args)
 
 
@@ -600,6 +604,7 @@ def _bwd_save_call(H, x, lns, lnb, wqkv, bqkv, wproj, p, cat, da, s=None):
             transcendentals=0,
         ),
         interpret=_interpret(),
+        compiler_params=_wide_params(D),
     )(*args)
 
 

@@ -56,7 +56,8 @@ def _gelu_exact(x):
 
 from fedcola_tpu.ops.common import (batch_arg as _batch_arg,
                                     interpret as _interpret,
-                                    items_per_program as _largest_ib)
+                                    items_per_program as _largest_ib,
+                                    wide_compiler_params as _wide_params)
 
 
 # ------------------------------------------------------------- kernels -----
@@ -177,6 +178,7 @@ def _fwd_call(x, w1, b1, w2, b2):
             transcendentals=n * xp.shape[1] * Hd,
         ),
         interpret=_interpret(),
+        compiler_params=_wide_params(D),
     )(xp, w1, b1, w2, b2)
     return o[:, :rows]
 
@@ -218,6 +220,7 @@ def _bwd_call(x, w1, b1, w2, do):
             transcendentals=2 * n * xp.shape[1] * Hd,
         ),
         interpret=_interpret(),
+        compiler_params=_wide_params(D),
     )(xp, w1, b1, w2, dop)
     return dx[:, :rows], dw1, db1, dw2, db2
 
@@ -394,6 +397,7 @@ def _ln_fwd_call(x, lns, lnb, w1, b1, w2, b2):
             transcendentals=n * xp.shape[1] * Hd,
         ),
         interpret=_interpret(),
+        compiler_params=_wide_params(D),
     )(xp, lns, lnb, w1, b1, w2, b2)
     return o[:, :rows]
 
@@ -435,6 +439,7 @@ def _ln_bwd_call(x, lns, lnb, w1, b1, w2, do):
             transcendentals=2 * n * xp.shape[1] * Hd,
         ),
         interpret=_interpret(),
+        compiler_params=_wide_params(D),
     )(xp, lns, lnb, w1, b1, w2, dop)
     return (outs[0][:, :rows],) + tuple(outs[1:])
 
@@ -691,6 +696,7 @@ def _ln_item_fwd_call(x, lns, lnb, w1, b1, w2, b2, s=None):
             transcendentals=n * B * N * Hd,
         ),
         interpret=_interpret(),
+        compiler_params=_wide_params(D),
     )(*args)
 
 
@@ -735,6 +741,7 @@ def _ln_item_bwd_call(x, lns, lnb, w1, b1, w2, do, s=None):
             transcendentals=2 * n * B * N * Hd,
         ),
         interpret=_interpret(),
+        compiler_params=_wide_params(D),
     )(*args)
 
 

@@ -77,9 +77,10 @@ VARIANTS = {
     "unroll12_lnmlp": {"scan_unroll": 12},  # LN-fused MLP now default in-code
     "unroll4": {"scan_unroll": 4},
     # scale-up probe: ViT-base tower (86M params; hd stays 64).  Runs the
-    # XLA+flash fallback (FUSED_MAX_EMBED_DIM gates the fused sublayers
-    # off above D=512); needs n=1 — two stacked base clients OOM HBM at
-    # B=96 under save_attn remat.  Run as: perf_sweep.py vitbase
+    # FUSED kernels since round 3 (wide_compiler_params raises Mosaic's
+    # scoped-VMEM check for D>512: 768.7 samples/s vs 486 on the old XLA
+    # fallback).  n=1 — two stacked base clients OOM HBM at B=96 under
+    # save_attn remat.  Run: perf_sweep.py vitbase
     "vitbase": {"embed_dim": 768, "num_heads": 12, "scan_unroll": 12,
                 "drop_path_rate": 0.1},
 }

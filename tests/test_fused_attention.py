@@ -237,3 +237,68 @@ def test_residual_folded_bitexact_vs_external_fold_on_tpu():
     for a, b, nm in zip(g0, g1, ["dx", "dwqkv", "dwproj", "dbproj"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=nm)
+
+
+@pytest.mark.tpu
+def test_wide_width_fused_attention_on_tpu():
+    """ViT-base widths (D=768, H=12) through both attention sublayer
+    variants on the real chip: the save-residuals forward/backward at
+    these shapes need the raised per-kernel VMEM limit
+    (ops/common.wide_compiler_params) and were gated to the XLA fallback
+    before round 3.  Checks fwd + grads vs plain math at bf16 tolerance.
+
+    Run with:  FEDCOLA_TEST_TPU=1 python -m pytest tests/ -m tpu
+    """
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real TPU (FEDCOLA_TEST_TPU=1)")
+    Ht, Nt, Dt = 12, 197, 768
+    hdt = Dt // Ht
+    rng = np.random.RandomState(0)
+    dt = jnp.bfloat16
+    args = (jnp.asarray(rng.randn(4, Nt, Dt) * 0.3, dt),
+            jnp.asarray(rng.rand(Dt) + 0.5, jnp.float32),
+            jnp.asarray(rng.randn(Dt) * 0.1, jnp.float32),
+            jnp.asarray(rng.randn(Dt, 3 * Dt) / np.sqrt(Dt), dt),
+            jnp.asarray(rng.randn(3 * Dt) * 0.01, dt),
+            jnp.asarray(rng.randn(Dt, Dt) / np.sqrt(Dt), dt),
+            jnp.asarray(rng.randn(Dt) * 0.01, dt))
+    do = jnp.asarray(np.random.RandomState(9).randn(4, Nt, Dt), dt)
+
+    def plain(x, lns, lnb, wqkv, bqkv, wproj, bproj):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+        h = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * lns + lnb).astype(x.dtype)
+        qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32) \
+            + bqkv.astype(jnp.float32)
+        B = x.shape[0]
+        qkv = qkv.reshape(B, Nt, 3, Ht, hdt).transpose(2, 0, 3, 1, 4)
+        q, k, v = (qkv[0] * hdt ** -0.5).astype(x.dtype), \
+            qkv[1].astype(x.dtype), qkv[2].astype(x.dtype)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v,
+                       preferred_element_type=jnp.float32)
+        o = o.transpose(0, 2, 1, 3).reshape(B, Nt, Dt).astype(x.dtype)
+        return jnp.dot(o, wproj, preferred_element_type=jnp.float32) \
+            + bproj.astype(jnp.float32)
+
+    for save in (False, True):
+        fn = make_fused_attention_sublayer(Ht, save_residuals=save)
+        of = np.asarray(fn(*args), np.float32)
+        op = np.asarray(plain(*args), np.float32)
+        rel = np.abs(of - op).max() / max(np.abs(op).max(), 1e-3)
+        assert rel < 3e-2, f"fwd(save={save}): max rel diff {rel:.4f}"
+        gf = jax.grad(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)
+                                         * do.astype(jnp.float32)),
+                      argnums=(0, 3, 5))(*args)
+        gp = jax.grad(lambda *a: jnp.sum(plain(*a)
+                                         * do.astype(jnp.float32)),
+                      argnums=(0, 3, 5))(*args)
+        for a, b, nm in zip(gf, gp, ["dx", "dwqkv", "dwproj"]):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-3)
+            assert rel < 3e-2, \
+                f"{nm}(save={save}): max rel diff {rel:.4f} at D=768"

@@ -247,3 +247,57 @@ def test_residual_folded_mlp_bitexact_vs_external_fold_on_tpu():
     for a, b, nm in zip(g0, g1, ["dx", "dw1", "dw2", "db2"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=nm)
+
+
+@pytest.mark.tpu
+def test_wide_width_fused_mlp_on_tpu():
+    """ViT-base widths (D=768) through the fused MLP sublayer on the real
+    chip: these shapes need the raised per-kernel VMEM limit
+    (ops/common.wide_compiler_params — the f32 dW accumulators exceed
+    Mosaic's ~16 MB default check) and were gated to the XLA fallback
+    before round 3.  Checks fwd + all grads vs plain math at bf16
+    tolerance.
+
+    Run with:  FEDCOLA_TEST_TPU=1 python -m pytest tests/ -m tpu
+    """
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real TPU (FEDCOLA_TEST_TPU=1)")
+    from fedcola_tpu.ops.fused_mlp import fused_mlp_sublayer_items
+
+    B, N, D = 4, 197, 768
+    Hd = 4 * D
+    rng = np.random.RandomState(0)
+    dt = jnp.bfloat16
+    x = jnp.asarray(rng.randn(B, N, D) * 0.3, dt)
+    lns = jnp.asarray(rng.rand(D) + 0.5, jnp.float32)
+    lnb = jnp.asarray(rng.randn(D) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.randn(D, Hd) / np.sqrt(D), dt)
+    b1 = jnp.asarray(rng.randn(Hd) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.randn(Hd, D) / np.sqrt(Hd), dt)
+    b2 = jnp.asarray(rng.randn(D) * 0.01, jnp.float32)
+    do = jnp.asarray(rng.randn(B, N, D), dt)
+
+    def plain(x, lns, lnb, w1, b1, w2, b2):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        h = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * lns + lnb).astype(x.dtype)
+        pre = jnp.dot(h, w1, preferred_element_type=jnp.float32) + b1
+        g = jax.nn.gelu(pre, approximate=False).astype(x.dtype)
+        return jnp.dot(g, w2, preferred_element_type=jnp.float32) + b2
+
+    args = (x, lns, lnb, w1, b1, w2, b2)
+    of = np.asarray(fused_mlp_sublayer_items(*args), np.float32)
+    op = np.asarray(plain(*args), np.float32)
+    np.testing.assert_allclose(of, op, rtol=3e-2, atol=3e-2)
+
+    gf = jax.grad(lambda *a: jnp.sum(
+        fused_mlp_sublayer_items(*a).astype(jnp.float32)
+        * do.astype(jnp.float32)), argnums=(0, 3, 5))(*args)
+    gp = jax.grad(lambda *a: jnp.sum(
+        plain(*a) * do.astype(jnp.float32)), argnums=(0, 3, 5))(*args)
+    for a, b, nm in zip(gf, gp, ["dx", "dw1", "dw2"]):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-3)
+        assert rel < 3e-2, f"{nm}: max rel diff {rel:.4f} at D=768"
