@@ -21,6 +21,10 @@ from jax.experimental.pallas import tpu as pltpu
 # Mosaic allocation FAILURE at the default.
 _WIDE_VMEM_LIMIT = int(os.environ.get(
     "FEDCOLA_WIDE_VMEM_LIMIT_MB", 96)) * 1024 * 1024
+# experiment knob (scripts/perf_sweep.py): force the raised limit at
+# EVERY width, letting the per-kernel item budgets (FEDCOLA_MLP_VMEM
+# etc.) sweep past Mosaic's default check at ViT-small shapes too
+_FORCED_VMEM_LIMIT = os.environ.get("FEDCOLA_VMEM_LIMIT_MB")
 
 
 def wide_compiler_params(embed_dim: int):
@@ -28,6 +32,9 @@ def wide_compiler_params(embed_dim: int):
     ViT-small-class widths (the tuned regime keeps Mosaic's default
     VMEM accounting), a raised ``vmem_limit_bytes`` above D=512 where
     the dW accumulators outgrow the default check."""
+    if _FORCED_VMEM_LIMIT:
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=int(_FORCED_VMEM_LIMIT) * 1024 * 1024)
     if embed_dim <= 512:
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=_WIDE_VMEM_LIMIT)
