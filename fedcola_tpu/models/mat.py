@@ -113,9 +113,10 @@ class MATConfig:
     # physically has 128 MB VMEM/core): ops/common.wide_compiler_params
     # passes vmem_limit_bytes=96MB for D>512, measured 131.8 TF/s
     # incl-recompute on the D=768 MLP backward (scripts/
-    # vmem_limit_probe3.py).  The cap now only excludes widths whose
-    # accumulators approach physical VMEM (D=1024: ~33 MB dW + weights
-    # + tiles still fits; D>1024 untested/unregistered).
+    # vmem_limit_probe3.py).  D=1024 (the cap) compile+run verified on
+    # the real chip for both kernel families (fwd+bwd); D>1024 widths
+    # would push the dW accumulators toward physical VMEM and are
+    # unregistered, so they take the XLA path.
     FUSED_MAX_EMBED_DIM = 1024
 
     @property
