@@ -23,8 +23,11 @@ _WIDE_VMEM_LIMIT = int(os.environ.get(
     "FEDCOLA_WIDE_VMEM_LIMIT_MB", 96)) * 1024 * 1024
 # experiment knob (scripts/perf_sweep.py): force the raised limit at
 # EVERY width, letting the per-kernel item budgets (FEDCOLA_MLP_VMEM
-# etc.) sweep past Mosaic's default check at ViT-small shapes too
-_FORCED_VMEM_LIMIT = os.environ.get("FEDCOLA_VMEM_LIMIT_MB")
+# etc.) sweep past Mosaic's default check at ViT-small shapes too.
+# Parsed once at import (like _WIDE_VMEM_LIMIT) so a malformed value
+# fails here with context, not mid-trace; unset/empty/0 disables.
+_FORCED_VMEM_LIMIT = (
+    int(os.environ.get("FEDCOLA_VMEM_LIMIT_MB") or 0) * 1024 * 1024) or None
 
 
 def wide_compiler_params(embed_dim: int):
@@ -33,8 +36,7 @@ def wide_compiler_params(embed_dim: int):
     VMEM accounting), a raised ``vmem_limit_bytes`` above D=512 where
     the dW accumulators outgrow the default check."""
     if _FORCED_VMEM_LIMIT:
-        return pltpu.CompilerParams(
-            vmem_limit_bytes=int(_FORCED_VMEM_LIMIT) * 1024 * 1024)
+        return pltpu.CompilerParams(vmem_limit_bytes=_FORCED_VMEM_LIMIT)
     if embed_dim <= 512:
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=_WIDE_VMEM_LIMIT)

@@ -40,8 +40,12 @@ def run(D, limit_mb, reps=4):
 
     if limit_mb:
         def patched(*a, **kw):
-            kw.setdefault("compiler_params", pltpu.CompilerParams(
-                vmem_limit_bytes=limit_mb * 1024 * 1024))
+            # OVERWRITE (production call sites now pass compiler_params
+            # explicitly via wide_compiler_params, so setdefault would be
+            # a silent no-op and every row would measure the 96 MB
+            # production limit)
+            kw["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=limit_mb * 1024 * 1024)
             return _orig(*a, **kw)
         fm.pl.pallas_call = patched
     try:

@@ -302,3 +302,31 @@ def test_wide_width_fused_attention_on_tpu():
             rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-3)
             assert rel < 3e-2, \
                 f"{nm}(save={save}): max rel diff {rel:.4f} at D=768"
+
+    # the residual-folded save-residuals variant is the PRODUCTION
+    # wide-width training path ('kernel' remat policy) — verify it too
+    from fedcola_tpu.ops.fused_attention import \
+        make_fused_attention_residual_sublayer
+    s = jnp.asarray(rng.choice([0.0, 1.0 / 0.9], size=4), jnp.float32)
+    fnr = make_fused_attention_residual_sublayer(Ht)
+
+    def plain_res(x, s, *w):
+        return x.astype(jnp.float32) + s[:, None, None] * plain(x, *w)
+
+    rargs = (args[0], s) + args[1:]
+    orf = np.asarray(fnr(*rargs), np.float32)
+    orp = np.asarray(plain_res(*rargs), np.float32)
+    rel = np.abs(orf - orp).max() / max(np.abs(orp).max(), 1e-3)
+    assert rel < 3e-2, f"residual fwd: max rel diff {rel:.4f} at D=768"
+    grf = jax.grad(lambda *a: jnp.sum(fnr(*a).astype(jnp.float32)
+                                      * do.astype(jnp.float32)),
+                   argnums=(0, 4, 6))(*rargs)
+    grp = jax.grad(lambda *a: jnp.sum(plain_res(*a)
+                                      * do.astype(jnp.float32)),
+                   argnums=(0, 4, 6))(*rargs)
+    for a, b, nm in zip(grf, grp, ["dx", "dwqkv", "dwproj"]):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-3)
+        assert rel < 3e-2, \
+            f"residual {nm}: max rel diff {rel:.4f} at D=768"

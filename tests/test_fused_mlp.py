@@ -301,3 +301,28 @@ def test_wide_width_fused_mlp_on_tpu():
         b = np.asarray(b, np.float32)
         rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-3)
         assert rel < 3e-2, f"{nm}: max rel diff {rel:.4f} at D=768"
+
+    # the residual-folded variant is the PRODUCTION wide-width training
+    # path ('kernel' remat policy folds x + s*mlp(LN(x)) in-kernel) —
+    # verify it too, against the plain math with the external fold
+    from fedcola_tpu.ops.fused_mlp import fused_mlp_residual_sublayer_items
+    s = jnp.asarray(rng.choice([0.0, 1.0 / 0.9], size=B), jnp.float32)
+
+    def plain_res(x, s, *w):
+        return x.astype(jnp.float32) + s[:, None, None] * plain(x, *w)
+
+    rargs = (x, s) + args[1:]
+    orf = np.asarray(fused_mlp_residual_sublayer_items(*rargs), np.float32)
+    orp = np.asarray(plain_res(*rargs), np.float32)
+    rel = np.abs(orf - orp).max() / max(np.abs(orp).max(), 1e-3)
+    assert rel < 3e-2, f"residual fwd: max rel diff {rel:.4f} at D=768"
+    grf = jax.grad(lambda *a: jnp.sum(
+        fused_mlp_residual_sublayer_items(*a).astype(jnp.float32)
+        * do.astype(jnp.float32)), argnums=(0, 4, 6))(*rargs)
+    grp = jax.grad(lambda *a: jnp.sum(
+        plain_res(*a) * do.astype(jnp.float32)), argnums=(0, 4, 6))(*rargs)
+    for a, b, nm in zip(grf, grp, ["dx", "dw1", "dw2"]):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-3)
+        assert rel < 3e-2, f"residual {nm}: max rel diff {rel:.4f} at D=768"
