@@ -64,8 +64,12 @@ def extract_features(cfg: MATConfig, spec: GroupSpec, params,
     # while unbounded dispatch would pin every host-fed batch's input
     # buffers in HBM at once (the window bounds that)
     def drain_one(fi, ft, idx):
-        fi = np.asarray(fi[:len(idx)], np.float32)
-        ft = np.asarray(ft[:len(idx)], np.float32)
+        if mesh_plan is not None:
+            fi = mesh_plan.to_host(fi)[:len(idx)].astype(np.float32)
+            ft = mesh_plan.to_host(ft)[:len(idx)].astype(np.float32)
+        else:
+            fi = np.asarray(fi[:len(idx)], np.float32)
+            ft = np.asarray(ft[:len(idx)], np.float32)
         for j, i in enumerate(idx):
             image_id = int(dataset.image_ids[i])
             if image_id not in img_ids_seen:

@@ -167,7 +167,8 @@ class CreamflServer(FedAvgServer):
         for b in self._pub_batches():
             fi, ft = fwd(params, b["img"], b["txt"])
             n = int(b["valid"].sum())
-            gi.append(np.asarray(fi[:n])); gt.append(np.asarray(ft[:n]))
+            gi.append(self.mesh_plan.to_host(fi)[:n])
+            gt.append(self.mesh_plan.to_host(ft)[:n])
         self.g_img = jnp.asarray(np.concatenate(gi))
         self.g_txt = jnp.asarray(np.concatenate(gt))
 
@@ -344,16 +345,17 @@ class CreamflServer(FedAvgServer):
             fs = []
             for b in self._pub_batches():
                 f = extract(stacked, b["img"], b["txt"])
-                fs.append(np.asarray(f[:, :int(b["valid"].sum())]))
+                fs.append(self.mesh_plan.to_host(f)
+                          [:, :int(b["valid"].sum())])
             self._pub_feats.update(
                 {cid: jnp.asarray(np.concatenate([f[j] for f in fs], 0))
                  for j, cid in enumerate(ids)})
 
         from fedcola_tpu.federation.aux import fold_aux_into_upload
         upload = fold_aux_into_upload(mcfg, stacked)
-        loss_sums = np.asarray(acc["l"], np.float64)[:n]
-        cor = np.asarray(acc["c"], np.float64)[:n]
-        cnt = np.asarray(acc["n"], np.float64)[:n]
+        loss_sums = self.mesh_plan.to_host(acc["l"]).astype(np.float64)[:n]
+        cor = self.mesh_plan.to_host(acc["c"]).astype(np.float64)[:n]
+        cnt = self.mesh_plan.to_host(acc["n"]).astype(np.float64)[:n]
         # same numerics sanitizer as FedAvgServer._train_group (task-epoch
         # losses; the pub-phase losses are not tracked upstream either) —
         # without it a diverging CreamFL client proceeds silently until

@@ -135,9 +135,12 @@ class FedOptServer(FedAvgServer):
                 self.server_m[ds], self.server_v[ds],
                 jnp.float32(round_lr), flavor=self.flavor,
                 b1=self.b1, b2=self.b2, tau=self.tau)
-            self.global_params[ds] = new_g
-            self.server_m[ds] = m
-            self.server_v[ds] = v
+            # multi-process: keep params AND moments replicated so the
+            # process-0-gated checkpoint can serialize them (no-op
+            # single-process)
+            self.global_params[ds] = self.mesh_plan.ensure_addressable(new_g)
+            self.server_m[ds] = self.mesh_plan.ensure_addressable(m)
+            self.server_v[ds] = self.mesh_plan.ensure_addressable(v)
         # super() exchanged aux weights against the PRE-step aggregate;
         # re-sync them from the post-step kernels so --with_aux still
         # means "aux = exact copy of the other modality's current

@@ -340,9 +340,9 @@ class FedAvgServer:
                    "c": acc["c"] + cs.astype(jnp.float32).sum(1),
                    "n": acc["n"] + nsf.sum(1)}
         upload = fold_aux_into_upload(mcfg, stacked)
-        loss_sums = np.asarray(acc["l"], np.float64)[:n]
-        cor = np.asarray(acc["c"], np.float64)[:n]
-        cnt = np.asarray(acc["n"], np.float64)[:n]
+        loss_sums = self.mesh_plan.to_host(acc["l"]).astype(np.float64)[:n]
+        cor = self.mesh_plan.to_host(acc["c"]).astype(np.float64)[:n]
+        cnt = self.mesh_plan.to_host(acc["n"]).astype(np.float64)[:n]
         # numerics sanitizer (the reference runs under
         # torch.autograd.set_detect_anomaly(True), main.py:307, which
         # raises only on NaN in backward): a transient inf/NaN *loss* with
@@ -471,6 +471,13 @@ class FedAvgServer:
                 self.global_params = exchange_aux_weights(
                     self.global_params, self.model_cfgs,
                     {ds: DATASET_2_MODALITY[ds] for ds in self.global_params})
+            # multi-process: aggregation outputs may carry sharded
+            # layouts; re-replicate so the process-0-gated checkpoint /
+            # finalize can serialize without a collective (no-op
+            # single-process)
+            self.global_params = {
+                ds: self.mesh_plan.ensure_addressable(p)
+                for ds, p in self.global_params.items()}
         self._assert_global_finite()
 
         if self.round % cfg.lr_decay_step == 0:
@@ -535,7 +542,7 @@ class FedAvgServer:
                 # behind the host without pinning every host-fed batch's
                 # input buffers in HBM at once
                 def drain_one(dev, idx):
-                    logits = np.asarray(dev)[:len(idx)]
+                    logits = self.mesh_plan.to_host(dev)[:len(idx)]
                     y = test.targets[idx]
                     loss = float(cross_entropy(jnp.asarray(logits),
                                                jnp.asarray(y)))
@@ -660,7 +667,7 @@ class FedAvgServer:
             arrs = self._shard_clients({"idx": idx, "valid": val})
             params_dev = self.mesh_plan.replicate(self.global_params[ds])
             ls, cs, ns = fn(params_dev, arrs["idx"], arrs["valid"], resident)
-            ls, cs, ns = (np.asarray(a, np.float64)[:n]
+            ls, cs, ns = (self.mesh_plan.to_host(a).astype(np.float64)[:n]
                           for a in (ls, cs, ns))
             for j, i in enumerate(gids):
                 losses.append(float(ls[j] / max(ns[j], 1.0)))
@@ -698,7 +705,7 @@ class FedAvgServer:
                                                   ft[:len(sel)]))
                     mm.track(loss, count=len(sel))
                 else:
-                    logits = np.asarray(dev)[:len(sel)]
+                    logits = self.mesh_plan.to_host(dev)[:len(sel)]
                     y = shard.dataset.targets[sel]
                     loss = float(cross_entropy(jnp.asarray(logits),
                                                jnp.asarray(y)))

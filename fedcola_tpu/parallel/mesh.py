@@ -190,3 +190,34 @@ class MeshPlan:
         if self.mesh is None:
             return tree
         return jax.device_put(tree, NamedSharding(self.mesh, P()))
+
+    # ------------------------------------------------------- multi-process --
+    # Under jax.distributed (multi-host DCN scale-out, main.py --dist_*)
+    # every process runs the same host program over one global mesh;
+    # device arrays sharded across processes are not fully addressable,
+    # so host readbacks need a cross-process gather and persisted state
+    # must be replicated before a single process serializes it.
+
+    @property
+    def is_multiprocess(self) -> bool:
+        return jax.process_count() > 1
+
+    def to_host(self, x) -> np.ndarray:
+        """Device -> host readback that works on any sharding.  On a
+        multi-process mesh a sharded array is gathered across processes
+        first — a COLLECTIVE: call from every process (all server paths
+        that read metrics/features back run identically on each host)."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return np.asarray(x)
+
+    def ensure_addressable(self, tree):
+        """Replicate a pytree over the global mesh when running
+        multi-process, so process-0-gated consumers (checkpoint save,
+        finalize .pt export) can ``np.asarray`` its leaves without a
+        collective.  No-op single-process — the hot path is untouched."""
+        if self.mesh is None or not self.is_multiprocess:
+            return tree
+        return jax.device_put(tree, NamedSharding(self.mesh, P()))

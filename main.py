@@ -70,16 +70,18 @@ def main(argv=None):
             process_id=cfg.dist_process_id)
     is_proc0 = jax.process_index() == 0
     if jax.process_count() > 1:
-        # EXPERIMENTAL (PARITY.md): the servers' host interactions
-        # (numpy staging via device_put, per-round scalar readbacks,
-        # checkpoint serialization) are written for a single-controller
-        # topology and have only ever run single-process — multi-process
-        # runs exercise an unverified path.  File-writing side effects
-        # (metrics JSONL, wandb, checkpoints, result JSON) are gated to
-        # process 0 so hosts on shared storage don't clobber each other.
-        print("WARNING: multi-host mode is experimental; host readbacks "
-              "and checkpointing are verified single-process only "
-              "(see PARITY.md)", file=sys.stderr)
+        # Multi-process topology (PARITY.md C1): every process runs this
+        # same deterministic host program; batches stage via cross-process
+        # device_put from identical host copies, sharded readbacks gather
+        # through MeshPlan.to_host, and global params re-replicate after
+        # aggregation so the process-0-gated side effects (metrics JSONL,
+        # wandb, checkpoints, result JSON) can serialize locally.
+        # Integration-tested at 2 processes x 2 CPU devices
+        # (tests/test_multiprocess.py) — real pod-slice DCN runs remain
+        # unexercised on this single-chip infrastructure.
+        print("NOTE: multi-host mode verified at 2-process/CPU-mesh scale "
+              "(tests/test_multiprocess.py); real DCN pod slices are "
+              "untested on this infra (see PARITY.md)", file=sys.stderr)
     # persistent compile cache: the fully-unrolled production programs
     # take minutes to compile cold; repeat runs on the same machine reuse
     # them (config.update, not env — jax may already be imported)

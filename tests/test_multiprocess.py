@@ -1,0 +1,108 @@
+"""Multi-host (multi-process) integration: two jax.distributed processes
+over one global 4-device CPU mesh run the SAME tiny FedAvg experiment as
+a single 4-device process, and produce the same global parameters.
+
+This exercises the DCN scale-out path end-to-end (main.py --dist_* ->
+jax.distributed.initialize -> one global MeshPlan): cross-process
+device_put staging of host batches, sharded-metric readbacks via
+MeshPlan.to_host (process_allgather), the post-aggregation
+ensure_addressable replication, process-0-gated checkpointing.  The
+reference has no distributed backend at all (SURVEY.md §2.8 C1); this is
+the path that would span a real pod slice.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _env(devices_per_proc: int):
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_proc}")
+    env.pop("JAX_NUM_PROCESSES", None)
+    return env
+
+
+def _args(exp_name: str, out: str, extra=()):
+    return [
+        sys.executable, "main.py", "--exp_name", exp_name, "--multi-task",
+        "--seed", "5", "--datasets", "MedicalAbstracts", "MedicalAbstracts",
+        "--modalities", "txt", "txt", "--Ks", "4", "--Cs", "1.0",
+        "--test_size", "-1", "--split_type", "iid",
+        "--model_name", "mome_test_patch16_32", "--algorithm", "fedavg",
+        "--eval_type", "global", "--eval_every", "2", "--R", "2", "--E", "1",
+        "--B", "8", "--optimizer", "AdamW", "--lr", "1e-3",
+        "--seq_len", "12", "--vocab_size", "80", "--no_pallas",
+        "--compute_dtype", "float32", "--equal_sampled", "--synthetic_data",
+        "--result_path", f"{out}/result", "--log_path", f"{out}/log",
+    ] + list(extra)
+
+
+@pytest.mark.slow
+def test_two_process_run_matches_single_process(tmp_path):
+    port = _free_port()
+    out2 = str(tmp_path / "mp")
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            _args("mp", out2, extra=[
+                "--dist_coordinator", f"127.0.0.1:{port}",
+                "--dist_num_processes", "2", "--dist_process_id", str(pid)]),
+            cwd=REPO, env=_env(2), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT))
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for pid, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{o[-3000:]}"
+
+    # the same experiment, single process, same 4-device global mesh
+    out1 = str(tmp_path / "sp")
+    p = subprocess.run(_args("sp", out1), cwd=REPO, env=_env(4),
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                       timeout=600)
+    assert p.returncode == 0, f"single-process failed:\n" \
+        f"{p.stdout.decode()[-3000:]}"
+
+    # process 0 wrote the finalize checkpoint; compare global params.
+    # Tolerance: cross-process collectives order f32 reductions
+    # differently than a single process, and AdamW amplifies that
+    # early-step jitter (update ~ m/sqrt(v) with tiny v) — measured max
+    # divergence 5.5e-4 on a bias after 2 rounds x 32 steps at lr=1e-3,
+    # with round losses agreeing to 3e-8 (same data, same program).
+    z2 = np.load(f"{out2}/result/mp/MedicalAbstracts.npz")
+    z1 = np.load(f"{out1}/result/sp/MedicalAbstracts.npz")
+    assert set(z1.files) == set(z2.files)
+    for k in z1.files:
+        if k.startswith("__"):
+            continue
+        np.testing.assert_allclose(
+            z2[k], z1[k], rtol=5e-3, atol=2e-3,
+            err_msg=f"param {k} diverged between 1- and 2-process runs")
+
+    # and the recorded metrics
+    r2 = json.load(open(f"{out2}/result/mp.json"))
+    r1 = json.load(open(f"{out1}/result/sp.json"))
+    for rnd in ("1", "2"):
+        l2 = r2[rnd]["clients_updated_summary"]["loss"]["avg"]
+        l1 = r1[rnd]["clients_updated_summary"]["loss"]["avg"]
+        assert abs(l2 - l1) < 1e-4, f"round {rnd}: {l2} vs {l1}"
+    e2 = r2["2"]["server_evaluated_MedicalAbstracts"]["loss"]
+    e1 = r1["2"]["server_evaluated_MedicalAbstracts"]["loss"]
+    assert abs(e2 - e1) < 1e-4
