@@ -57,13 +57,18 @@ def _args(exp_name: str, out: str, extra=()):
 
 
 @pytest.mark.slow
-def test_two_process_run_matches_single_process(tmp_path):
+@pytest.mark.parametrize("mesh_flags", [
+    (),                                              # default 1-D clients mesh
+    ("--mesh_shape", "2", "2",
+     "--mesh_axes", "clients", "data"),              # 2-axis: cross-process
+], ids=["clients4", "clients2xdata2"])
+def test_two_process_run_matches_single_process(tmp_path, mesh_flags):
     port = _free_port()
     out2 = str(tmp_path / "mp")
     procs = []
     for pid in range(2):
         procs.append(subprocess.Popen(
-            _args("mp", out2, extra=[
+            _args("mp", out2, extra=list(mesh_flags) + [
                 "--dist_coordinator", f"127.0.0.1:{port}",
                 "--dist_num_processes", "2", "--dist_process_id", str(pid)]),
             cwd=REPO, env=_env(2), stdout=subprocess.PIPE,
@@ -74,7 +79,8 @@ def test_two_process_run_matches_single_process(tmp_path):
 
     # the same experiment, single process, same 4-device global mesh
     out1 = str(tmp_path / "sp")
-    p = subprocess.run(_args("sp", out1), cwd=REPO, env=_env(4),
+    p = subprocess.run(_args("sp", out1, extra=list(mesh_flags)),
+                       cwd=REPO, env=_env(4),
                        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                        timeout=600)
     assert p.returncode == 0, f"single-process failed:\n" \
