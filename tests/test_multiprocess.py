@@ -112,3 +112,65 @@ def test_two_process_run_matches_single_process(tmp_path, mesh_flags):
     e2 = r2["2"]["server_evaluated_MedicalAbstracts"]["loss"]
     e1 = r1["2"]["server_evaluated_MedicalAbstracts"]["loss"]
     assert abs(e2 - e1) < 1e-4
+
+
+@pytest.mark.slow
+def test_two_process_creamfl_matches_single_process(tmp_path):
+    """CreamFL is the most host-interactive algorithm (public-set
+    staging, per-client pub-feature extraction, contrastive-weighted
+    aggregation, server KD distillation) — run it as 2 jax.distributed
+    processes on a synthetic mm dataset and match single-process."""
+    creamfl = [
+        sys.executable, "main.py", "--multi-task", "--seed", "5",
+        "--datasets", "Coco", "Coco", "--modalities", "img+txt", "img+txt",
+        "--Ks", "4", "--Cs", "1.0", "--test_size", "-1",
+        "--split_type", "iid", "--model_name", "mome_test_patch16_32",
+        "--algorithm", "creamfl", "--eval_type", "global",
+        "--eval_every", "1", "--R", "1", "--E", "1", "--B", "8",
+        "--optimizer", "AdamW", "--lr", "1e-3", "--seq_len", "12",
+        "--vocab_size", "80", "--no_pallas", "--compute_dtype", "float32",
+        "--equal_sampled", "--synthetic_data", "--reduce_samples", "200",
+        "--reduce_test_samples", "80",
+        "--num_pub_samples", "32", "--pub_batch_size", "16",
+        "--kd_weight", "1e-7", "--interintra_weight", "1",
+        "--no_mm_contrastive", "--eval_batch_size", "16",
+    ]
+
+    port = _free_port()
+    out2 = str(tmp_path / "mp")
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            creamfl + ["--exp_name", "mp", "--result_path", f"{out2}/result",
+                       "--log_path", f"{out2}/log",
+                       "--dist_coordinator", f"127.0.0.1:{port}",
+                       "--dist_num_processes", "2",
+                       "--dist_process_id", str(pid)],
+            cwd=REPO, env=_env(2), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT))
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for pid, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{o[-3000:]}"
+
+    out1 = str(tmp_path / "sp")
+    p = subprocess.run(
+        creamfl + ["--exp_name", "sp", "--result_path", f"{out1}/result",
+                   "--log_path", f"{out1}/log"],
+        cwd=REPO, env=_env(4), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, timeout=600)
+    assert p.returncode == 0, f"single-process failed:\n" \
+        f"{p.stdout.decode()[-3000:]}"
+
+    z2 = np.load(f"{out2}/result/mp/Coco.npz")
+    z1 = np.load(f"{out1}/result/sp/Coco.npz")
+    for k in z1.files:
+        if k.startswith("__"):
+            continue
+        np.testing.assert_allclose(
+            z2[k], z1[k], rtol=5e-3, atol=2e-3,
+            err_msg=f"param {k} diverged between 1- and 2-process runs")
+    r2 = json.load(open(f"{out2}/result/mp.json"))
+    r1 = json.load(open(f"{out1}/result/sp.json"))
+    l2 = r2["1"]["clients_updated_summary"]["loss"]["avg"]
+    l1 = r1["1"]["clients_updated_summary"]["loss"]["avg"]
+    assert abs(l2 - l1) < 1e-3, f"{l2} vs {l1}"
