@@ -61,7 +61,9 @@ def _args(exp_name: str, out: str, extra=()):
     (),                                              # default 1-D clients mesh
     ("--mesh_shape", "2", "2",
      "--mesh_axes", "clients", "data"),              # 2-axis: cross-process
-], ids=["clients4", "clients2xdata2"])
+    ("--mesh_shape", "2", "2",
+     "--mesh_axes", "clients", "model"),             # Megatron TP across hosts
+], ids=["clients4", "clients2xdata2", "clients2xmodel2"])
 def test_two_process_run_matches_single_process(tmp_path, mesh_flags):
     port = _free_port()
     out2 = str(tmp_path / "mp")
