@@ -62,6 +62,13 @@ def coco_fixture(root: str, n_train_img: int, n_test_img: int,
         root, f"ready_{n_train_img}_{n_test_img}_{size}_{int(eval_overlap)}")
     if os.path.exists(stamp):
         return root
+    # the generated files (annotations/csvs/vocab.txt) are shared per
+    # root: a rebuild with different parameters overwrites them, so any
+    # OTHER parameterization's stamp would now validate stale data —
+    # drop all stamps before rebuilding
+    import glob as _glob
+    for old_stamp in _glob.glob(os.path.join(root, "ready_*")):
+        os.remove(old_stamp)
     os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
     rng = np.random.RandomState(0)
 
@@ -110,6 +117,13 @@ def flickr_fixture(root: str, n_train_img: int, n_test_img: int,
         root, f"ready_{n_train_img}_{n_test_img}_{size}_{int(eval_overlap)}")
     if os.path.exists(stamp):
         return root
+    # the generated files (annotations/csvs/vocab.txt) are shared per
+    # root: a rebuild with different parameters overwrites them, so any
+    # OTHER parameterization's stamp would now validate stale data —
+    # drop all stamps before rebuilding
+    import glob as _glob
+    for old_stamp in _glob.glob(os.path.join(root, "ready_*")):
+        os.remove(old_stamp)
     os.makedirs(root, exist_ok=True)
     rng = np.random.RandomState(0)
 

@@ -182,12 +182,30 @@ def get_tokenizer(data_path: Optional[str] = None,
     a synthetic stand-in when offline)."""
     import os
     VOCABS = {"Flickr30k": "vocab.txt", "MedicalAbstracts": "vocab.txt"}
+    # the model's word-embedding table is sized by VOCAB_SIZES (registry
+    # builds vocab_size=VOCAB_SIZES[dataset]); any tokenizer with a
+    # bigger vocab would emit out-of-range ids that XLA's clamped
+    # gathers turn into silently corrupted embeddings
+    from fedcola_tpu.config import VOCAB_SIZES
+    table_size = VOCAB_SIZES.get(dataset, vocab_size)
+
+    def _check(tok, path):
+        if tok.vocab_size > table_size:
+            raise ValueError(
+                f"{path} has {tok.vocab_size} tokens but the model's "
+                f"word-embedding table for {dataset!r} has only "
+                f"{table_size} rows — ids past the table would gather "
+                f"the last row silently; pass --vocab_size "
+                f"{tok.vocab_size} (or trim the vocab file)")
+        return tok
+
     if vocab_file is not None:
-        return WordPieceTokenizer.from_vocab_file(vocab_file)
+        return _check(WordPieceTokenizer.from_vocab_file(vocab_file),
+                      vocab_file)
     if dataset in VOCABS and data_path is not None:
         path = os.path.join(data_path, VOCABS[dataset])
         if os.path.exists(path):
-            return WordPieceTokenizer.from_vocab_file(path)
+            return _check(WordPieceTokenizer.from_vocab_file(path), path)
     # any dataset root that ships a vocab.txt wins over the fallbacks:
     # the reference uses bert-base-uncased for Coco (a download this
     # environment can't make), and whether a cached copy exists is
@@ -198,13 +216,7 @@ def get_tokenizer(data_path: Optional[str] = None,
         path = os.path.join(data_path, "vocab.txt")
         if os.path.exists(path):
             logger.info("[TOKENIZER] %s: using %s", dataset, path)
-            return WordPieceTokenizer.from_vocab_file(path)
-    # the model's word-embedding table is sized by VOCAB_SIZES (registry
-    # builds vocab_size=VOCAB_SIZES[dataset]); a fallback tokenizer with
-    # a bigger vocab would emit out-of-range ids that XLA's clamped
-    # gathers turn into silently corrupted embeddings
-    from fedcola_tpu.config import VOCAB_SIZES
-    table_size = VOCAB_SIZES.get(dataset, vocab_size)
+            return _check(WordPieceTokenizer.from_vocab_file(path), path)
     # try a locally cached bert-base-uncased vocab
     for cand in (
         os.path.expanduser("~/.cache/huggingface"),

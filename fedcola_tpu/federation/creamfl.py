@@ -70,6 +70,14 @@ class CreamflServer(FedAvgServer):
         self._load_pub_set()
         self.g_img = None
         self.g_txt = None
+        # per-INSTANCE jit caches: a class-level @lru_cache on these
+        # bound methods would key entries on `self` and keep discarded
+        # servers' entire device state (pinned pub batches, global
+        # params) alive for the cache's lifetime; instance-level wrapping
+        # forms a self-cycle the gc can collect with the server
+        for m in ("_build_pub_embed", "_build_pub_update",
+                  "_build_pub_extract", "_build_distill_step"):
+            setattr(self, m, functools.lru_cache(maxsize=8)(getattr(self, m)))
 
     # ------------------------------------------------------------ pub data --
 
@@ -144,7 +152,6 @@ class CreamflServer(FedAvgServer):
 
     # ------------------------------------------------- global pub features --
 
-    @functools.lru_cache(maxsize=2)
     def _build_pub_embed(self):
         """jitted mm public-set embed; built once (a fresh @jax.jit per
         round would retrace + recompile every round)."""
@@ -174,7 +181,6 @@ class CreamflServer(FedAvgServer):
 
     # --------------------------------------------------- client pub phases --
 
-    @functools.lru_cache(maxsize=8)
     def _build_pub_update(self, ds: str):
         """Vmapped one-batch public contrastive step for the group of
         dataset ``ds`` (creamflclient.py:131-237)."""
@@ -255,7 +261,6 @@ class CreamflServer(FedAvgServer):
         vm = jax.vmap(step, in_axes=(0, 0, None, None, None, None, 0, None))
         return jax.jit(vm, donate_argnums=(0, 1))
 
-    @functools.lru_cache(maxsize=8)
     def _build_pub_extract(self, ds: str):
         """Batched public feature extraction for one uni-modal group
         (creamflclient.py:38-68)."""
@@ -392,7 +397,6 @@ class CreamflServer(FedAvgServer):
 
     # -------------------------------------------------------- distillation --
 
-    @functools.lru_cache(maxsize=2)
     def _build_distill_step(self):
         """jitted KD step; built once per server (a fresh @jax.jit per
         round would retrace + recompile every round).  The reference
@@ -524,6 +528,12 @@ class CreamflServer(FedAvgServer):
             logger.warning("[CREAMFL] skipping distillation: missing %s "
                            "client features",
                            "img" if img_vec is None else "txt")
+        # multi-process: aggregation/distill outputs may carry sharded
+        # layouts; re-replicate so the process-0-gated checkpoint can
+        # serialize (same as FedAvgServer.update; no-op single-process)
+        self.global_params = {
+            ds: self.mesh_plan.ensure_addressable(p)
+            for ds, p in self.global_params.items()}
         # same hard numerics guard as the FedAvg round (the default
         # non-finite-loss path only warns; corruption must not reach the
         # next round / checkpoints through this subclass either)

@@ -74,7 +74,11 @@ def _heads_fwd(qkv, D, H, hd, scale, dtype):
     return outs, ps
 
 
-_BWD_G = os.environ.get("FEDCOLA_ATTN_BWD_G")
+# parsed once at import (like FEDCOLA_MLP_BWD_G) so a malformed value
+# fails here with context, not deep inside a Pallas kernel trace;
+# None = N-adaptive default (see _make_bwd_save_kernel)
+_BWD_G = (max(1, int(os.environ["FEDCOLA_ATTN_BWD_G"]))
+          if os.environ.get("FEDCOLA_ATTN_BWD_G") else None)
 
 
 def _make_fwd_kernel(H: int, IB: int):
@@ -190,9 +194,10 @@ def _make_bwd_save_kernel(H: int, IB: int, residual: bool = False):
         hd = D // H
         scale = hd ** -0.5
 
-        # clamp to >= 1: a non-positive group size would make the item
-        # loop empty and return never-written VMEM as gradients
-        G = max(1, int(_BWD_G)) if _BWD_G else (2 if N >= 128 else 4)
+        # _BWD_G is pre-parsed and clamped >= 1 at import (a non-positive
+        # group size would make the item loop empty and return
+        # never-written VMEM as gradients); None = N-adaptive default
+        G = _BWD_G if _BWD_G else (2 if N >= 128 else 4)
         for g0 in range(0, IB, G):
           group = range(g0, min(g0 + G, IB))
           lnouts = {i: _ln_fwd(x_ref[0, i], lns_ref[0, 0], lnb_ref[0, 0])

@@ -107,6 +107,21 @@ def main(argv=None):
     if os.path.isdir(ckpt_dir):
         server.load_checkpoint(ckpt_dir)
         logger.info("resumed from checkpoint at round %d", server.round)
+    if jax.process_count() > 1:
+        # checkpoints are written by process 0 only; a restart where the
+        # other hosts can't see them (result_path on host-local disk)
+        # would silently resume process 0 at round N while the rest start
+        # at round 1 — mismatched collective programs hang or corrupt.
+        # Fail loudly instead.
+        from jax.experimental import multihost_utils
+        rounds = multihost_utils.process_allgather(
+            np.int32(server.round))
+        if int(rounds.min()) != int(rounds.max()):
+            raise RuntimeError(
+                f"multi-host resume mismatch: processes see checkpoints "
+                f"at rounds {sorted(set(int(r) for r in rounds))} — "
+                f"--result_path must be shared storage visible to every "
+                f"host (each process loads {ckpt_dir})")
 
     from fedcola_tpu.utils.profiling import round_trace
 
