@@ -445,6 +445,22 @@ def check_args(cfg: ExperimentConfig) -> ExperimentConfig:
                          f"supported: {sorted(known_criteria)} "
                          "(reference validates against torch.nn names, "
                          "src/utils.py:212-230)")
+    if (cfg.compensation and cfg.share_scope in ("dataset", "task")
+            and cfg.algorithm != "creamfl"):
+        # the reference's compensation branch only normalises for
+        # all/modality/modality_exact (fedavgserver.py:640-651); with any
+        # other share_scope every parameter name is left unassigned and
+        # the accumulate loop skips it (fedavgserver.py:657-668) — the
+        # global model silently never changes.  Reject the dead
+        # combination loudly instead of training nothing.  (CreamFL has
+        # its own compensation normaliser that handles every scope,
+        # creamflserver.py:276-279, so it is exempt.)
+        raise ValueError(
+            f"--compensation with --share_scope {cfg.share_scope} "
+            "aggregates NOTHING in the reference (its compensation "
+            "branch only handles all/modality/modality_exact and skips "
+            "unassigned params) — use --share_scope modality/"
+            "modality_exact/all, or drop --compensation")
     if cfg.criterion == "Seq2SeqLoss":
         raise ValueError(
             "Seq2SeqLoss needs [B, L, V] sequence logits, which no MAT "

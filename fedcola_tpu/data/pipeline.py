@@ -47,9 +47,17 @@ class ClientShard:
 class AugmentSpec:
     """Host-side train-time augmentations (reference ``_get_transform``,
     data.py:86-134), applied in the reference's Compose order:
-    crop -> rotation -> hflip -> vflip -> color jitter.  --resize/--imnorm
-    are handled on device."""
-    crop: Optional[int] = None       # RandomCrop(crop, padding=4)
+    resize -> crop -> rotation -> hflip -> vflip -> color jitter.
+    --imnorm (and the final resize to the model input when no crop is
+    configured) are handled on device.
+
+    ``resize`` matters only together with ``crop``: the reference resizes
+    BEFORE RandomCrop (data.py:93-97), so cropping at the staged native
+    resolution would sample materially different crop coverage (and crash
+    for crop > native+8)."""
+    resize: Optional[int] = None     # Resize((r, r)) BEFORE the crop
+    crop: Optional[int] = None       # RandomCrop(crop, padding=4,
+    #                                  pad_if_needed=True)
     randrot: Optional[int] = None    # RandomRotation(deg): U(-deg, +deg)
     randhf: Optional[float] = None   # RandomHorizontalFlip(p)
     randvf: Optional[float] = None   # RandomVerticalFlip(p)
@@ -116,9 +124,25 @@ def _color_jitter(img: np.ndarray, j: float,
 def _augment(images: np.ndarray, aug: AugmentSpec,
              rng: np.random.RandomState) -> np.ndarray:
     B = images.shape[0]
+    if (aug.crop is not None and aug.resize is not None
+            and images.shape[1:3] != (aug.resize, aug.resize)):
+        # reference order: Resize((r, r)) BEFORE RandomCrop
+        # (data.py:93-97); PIL bilinear like torchvision's
+        from PIL import Image
+        r = aug.resize
+        images = np.stack([np.asarray(Image.fromarray(im).resize(
+            (r, r), Image.BILINEAR)) for im in images])
+        if images.ndim == 3:                     # 1-channel PIL roundtrip
+            images = images[..., None]
     if aug.crop is not None:
         c = aug.crop
         padded = np.pad(images, ((0, 0), (4, 4), (4, 4), (0, 0)))
+        # pad_if_needed=True (data.py:96): when still smaller than the
+        # crop, torchvision pads BOTH sides by the full deficit
+        dh = max(c - padded.shape[1], 0)
+        dw = max(c - padded.shape[2], 0)
+        if dh or dw:
+            padded = np.pad(padded, ((0, 0), (dh, dh), (dw, dw), (0, 0)))
         H = padded.shape[1]
         out = np.empty((B, c, c, images.shape[-1]), images.dtype)
         ys = rng.randint(0, H - c + 1, B)

@@ -153,25 +153,35 @@ def compute_coefficients(
 
         if creamfl:
             # creamflserver.py:276-279: compensation divides by the
-            # unfiltered total, else by the filtered sum
+            # unfiltered total, else by the filtered sum.  NEITHER branch
+            # has a zero-denominator guard upstream (a round whose sample
+            # contributes nothing to a param raises ZeroDivisionError
+            # there); with the zero_init accumulation a silent 0.0
+            # fallback would write ALL-ZERO global params — finite, so
+            # the post-aggregation guard could not catch it — so fail as
+            # loudly as the reference, with a diagnosis
             denom = old_sum if compensation else sum(new_num.values())
-            coefficients[name] = {cid: (v / denom if denom != 0 else 0.0)
+            if denom == 0:
+                raise ZeroDivisionError(
+                    f"CreamFL aggregation: no sampled client contributes "
+                    f"to param {name!r} (scope {scope!r}, model "
+                    f"{model_dataset!r}) — the zero-init accumulate would "
+                    f"silently zero the parameter (the reference raises "
+                    f"here too, creamflserver.py:276-279)")
+            coefficients[name] = {cid: v / denom
                                   for cid, v in new_num.items()}
         elif fedavg or not compensation:
             denom = sum(new_num.values())
-            coefficients[name] = {cid: (v / denom if denom != 0 else 0.0)
-                                  for cid, v in new_num.items()}
+            coefficients[name] = _normalize(new_num, denom)
         else:
             if share_scope == "all":
                 denom = old_sum
-                coefficients[name] = {cid: (v / denom if denom != 0 else 0.0)
-                                      for cid, v in new_num.items()}
+                coefficients[name] = _normalize(new_num, denom)
             elif share_scope == "modality":
                 denom = sum(float(updated_sizes[cid]) for cid in sorted_ids
                             if clients[cid].modality in model_modality
                             or model_modality in clients[cid].modality)
-                coefficients[name] = {cid: (v / denom if denom != 0 else 0.0)
-                                      for cid, v in new_num.items()}
+                coefficients[name] = _normalize(new_num, denom)
             elif share_scope == "modality_exact":
                 if param_modality:
                     denom = sum(
@@ -183,19 +193,30 @@ def compute_coefficients(
                     denom = sum(float(updated_sizes[cid]) for cid in sorted_ids
                                 if clients[cid].modality in model_modality
                                 or model_modality in clients[cid].modality)
-                coefficients[name] = {cid: (v / denom if denom != 0 else 0.0)
-                                      for cid, v in new_num.items()}
-            else:  # compensation with share_scope='dataset' falls through to
-                # the else-branch normalisation in the reference? No: the
-                # reference only handles all/modality/modality_exact under
-                # compensation; any other share_scope leaves `coefficients`
-                # unset for the name and crashes.  We normalise plainly and
-                # warn once instead of crashing.
-                denom = sum(new_num.values())
-                coefficients[name] = {cid: (v / denom if denom != 0 else 0.0)
-                                      for cid, v in new_num.items()}
+                coefficients[name] = _normalize(new_num, denom)
+            else:
+                # compensation with share_scope='dataset'/'task': the
+                # reference's compensation branch only assigns
+                # coefficients for all/modality/modality_exact
+                # (fedavgserver.py:640-651); any other share_scope leaves
+                # the name UNassigned, and the accumulate loop iterates
+                # assigned names only (fedavgserver.py:657-668) — i.e.
+                # the reference silently SKIPS every parameter and the
+                # global model never changes.  Reproduce keep-global
+                # (all-zero coefficients -> closed form returns g) so the
+                # semantics match; check_args rejects the combination at
+                # the CLI so no user run silently trains nothing.
+                coefficients[name] = {cid: 0.0 for cid in new_num}
     return coefficients
 
+
+
+def _normalize(new_num, denom):
+    """Coefficient normalisation with the reference's zero-denominator
+    guard (fedavgserver.py:654: ``... if sum != 0 else 0``): an all-zero
+    row keeps the old global through the closed form."""
+    return {cid: (v / denom if denom != 0 else 0.0)
+            for cid, v in new_num.items()}
 
 def streaming_closed_form(global_weight: float,
                           contribs: List[Tuple[int, float]]) -> Tuple[float, List[float]]:

@@ -152,7 +152,8 @@ class FedAvgServer:
         Reference transforms: data.py:86-134."""
         cfg = self.cfg
         from fedcola_tpu.data.pipeline import AugmentSpec
-        aug = AugmentSpec(crop=cfg.crop, randrot=cfg.randrot,
+        aug = AugmentSpec(resize=cfg.resize, crop=cfg.crop,
+                          randrot=cfg.randrot,
                           randhf=cfg.randhf, randvf=cfg.randvf,
                           randjit=cfg.randjit)
         aug = aug if ("img" in spec.modality and aug.active) else None
@@ -164,8 +165,8 @@ class FedAvgServer:
             if data_dev is not None:
                 import dataclasses
                 spec = dataclasses.replace(
-                    spec, aug_crop=aug.crop, aug_randhf=aug.randhf,
-                    aug_randvf=aug.randvf)
+                    spec, aug_resize=aug.resize, aug_crop=aug.crop,
+                    aug_randhf=aug.randhf, aug_randvf=aug.randvf)
                 aug = None
         elif ds not in self._aug_host_logged:
             self._aug_host_logged.add(ds)
@@ -188,9 +189,16 @@ class FedAvgServer:
         resize_to = self.model_cfgs[ds].img_size \
             if (("img" in modality) and native
                 and native != self.model_cfgs[ds].img_size) else None
+        # --crop: eval images get the reference's deterministic
+        # Resize -> CenterCrop(crop) (data.py:93-97) via
+        # preprocess_images; train batches are random-cropped by the
+        # augmentation path and pass through it untouched
+        cc = self.cfg.crop if "img" in modality else None
         return GroupSpec(modality=modality, criterion=criterion,
                          resize_to=resize_to, imnorm=self.cfg.imnorm,
-                         mu=self.cfg.mu, algorithm=self.cfg.algorithm)
+                         mu=self.cfg.mu, algorithm=self.cfg.algorithm,
+                         aug_resize=self.cfg.resize if cc else None,
+                         center_crop=cc)
 
     def _frozen_token(self, ds: str, modality: str):
         """Freeze-window mask (fedavgserver.py:422-429, 493-498): scope-'all'

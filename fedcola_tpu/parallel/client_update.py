@@ -56,9 +56,16 @@ class GroupSpec:
     algorithm: str = "fedavg"
     # device-side train augmentation inside the resident gather (reference
     # transforms data.py:86-134; rotation/jitter stay host-side)
-    aug_crop: Optional[int] = None       # RandomCrop(c, padding=4)
+    aug_resize: Optional[int] = None     # Resize((r, r)) BEFORE the crop
+    aug_crop: Optional[int] = None       # RandomCrop(c, padding=4,
+    #                                      pad_if_needed=True)
     aug_randhf: Optional[float] = None   # RandomHorizontalFlip(p)
     aug_randvf: Optional[float] = None   # RandomVerticalFlip(p)
+    # eval-side crop (reference CenterCrop(crop) after Resize,
+    # data.py:96-97): applied by preprocess_images to images that are NOT
+    # already crop-sized, so train batches (pre-cropped by the random
+    # crop) pass through untouched
+    center_crop: Optional[int] = None
 
     @property
     def device_aug(self) -> bool:
@@ -77,12 +84,30 @@ def preprocess_images(x: jnp.ndarray, spec: GroupSpec,
     x = x.astype(jnp.float32) / 255.0
     if spec.imnorm:
         x = (x - 0.5) / 0.5
+    B = x.shape[0]
+    # --crop configured and the image is NOT already crop-sized: this is
+    # an un-augmented (eval / fedprox-global) image — apply the
+    # reference's deterministic chain Resize((r,r)) -> CenterCrop(c)
+    # (data.py:93-97; train batches arrive pre-cropped from the random
+    # crop and skip this).  Resize/center-crop are linear and commute
+    # with the normalisation above.
+    if (spec.center_crop is not None
+            and x.shape[1:3] != (spec.center_crop, spec.center_crop)):
+        if (spec.aug_resize is not None
+                and x.shape[1:3] != (spec.aug_resize, spec.aug_resize)):
+            x = jax.image.resize(
+                x, (B, spec.aug_resize, spec.aug_resize, x.shape[-1]),
+                "bilinear")
+        c = spec.center_crop
+        if x.shape[1] > c and x.shape[2] > c:
+            y0 = (x.shape[1] - c) // 2
+            x0 = (x.shape[2] - c) // 2
+            x = x[:, y0:y0 + c, x0:x0 + c, :]
     # both spatial dims: a non-square input whose height happens to match
     # must still be resized (square-ness is not an invariant of future
     # path-backed datasets)
     if (spec.resize_to is not None
             and x.shape[1:3] != (spec.resize_to, spec.resize_to)):
-        B = x.shape[0]
         x = jax.image.resize(
             x, (B, spec.resize_to, spec.resize_to, x.shape[-1]), "bilinear")
     return x.astype(dtype)
@@ -90,17 +115,33 @@ def preprocess_images(x: jnp.ndarray, spec: GroupSpec,
 
 def device_augment(x: jnp.ndarray, key, crop: Optional[int],
                    randhf: Optional[float],
-                   randvf: Optional[float]) -> jnp.ndarray:
+                   randvf: Optional[float],
+                   resize: Optional[int] = None) -> jnp.ndarray:
     """Per-sample train augmentation on device, matching the host
-    ``_augment`` semantics (pipeline.py:108-136; reference torchvision
-    chain data.py:86-134) for the resident data plane: RandomCrop(c,
-    padding=4) -> RandomHorizontalFlip(p) -> RandomVerticalFlip(p).
-    Runs on uint8 NHWC before normalisation/resize, so augmented runs keep
-    HBM residency instead of falling back to host pixel streaming."""
+    ``_augment`` semantics (pipeline.py) in the reference's transform
+    order (data.py:93-103): Resize((r, r)) -> RandomCrop(c, padding=4,
+    pad_if_needed=True) -> RandomHorizontalFlip(p) ->
+    RandomVerticalFlip(p).  Runs on uint8 NHWC before
+    normalisation, so augmented runs keep HBM residency instead of
+    falling back to host pixel streaming."""
     B = x.shape[0]
     kc, kh, kv = jax.random.split(key, 3)
+    if (crop is not None and resize is not None
+            and x.shape[1:3] != (resize, resize)):
+        # pixel-scale bilinear, rounded back to uint8 (the reference
+        # resizes the uint8 PIL image before cropping)
+        xf = jax.image.resize(
+            x.astype(jnp.float32), (B, resize, resize, x.shape[-1]),
+            "bilinear")
+        x = jnp.clip(jnp.round(xf), 0, 255).astype(jnp.uint8)
     if crop is not None:
         x = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+        # pad_if_needed=True: still smaller than the crop -> pad BOTH
+        # sides by the full deficit (torchvision RandomCrop semantics)
+        dh = max(crop - x.shape[1], 0)
+        dw = max(crop - x.shape[2], 0)
+        if dh or dw:
+            x = jnp.pad(x, ((0, 0), (dh, dh), (dw, dw), (0, 0)))
         H, W = x.shape[1], x.shape[2]
         kcy, kcx = jax.random.split(kc)
         ys = jax.random.randint(kcy, (B,), 0, H - crop + 1)
@@ -192,33 +233,22 @@ def _route_inputs(cfg: MATConfig, spec: GroupSpec, batch, dtype):
 
 def _local_loss(cfg: MATConfig, spec: GroupSpec, params, batch,
                 rng, global_params):
-    """Modality-routed loss (reference fedavgclient.py:81-95)."""
+    """Modality-routed loss (reference fedavgclient.py:81-95); the slot
+    routing itself is ``_route_inputs`` — the ONE routing shared with the
+    eval paths."""
     dtype = jnp.dtype(cfg.compute_dtype)
     valid = batch["valid"]
-    if spec.modality == "img":
-        x = preprocess_images(batch["x"], spec, dtype)
-        ins = [None] * len(cfg.modalities)
-        ins[spec.img_slot] = x
-        logits = mat_apply(cfg, params, ins, train=True, rng=rng)[spec.img_slot]
+    ins, out_slot = _route_inputs(cfg, spec, batch, dtype)
+    if out_slot is not None:                      # uni-modal cls
+        logits = mat_apply(cfg, params, ins, train=True, rng=rng)[out_slot]
         loss = _cls_criterion(spec.criterion)(logits, batch["y"], valid)
         correct = _count_correct(logits, batch["y"], valid)
-    elif spec.modality == "txt":
-        ins = [None] * len(cfg.modalities)
-        ins[spec.txt_slot] = batch["x"]
-        logits = mat_apply(cfg, params, ins, train=True, rng=rng)[spec.txt_slot]
-        loss = _cls_criterion(spec.criterion)(logits, batch["y"], valid)
-        correct = _count_correct(logits, batch["y"], valid)
-    elif spec.modality == "img+txt":
-        img = preprocess_images(batch["x"], spec, dtype)
-        ins = [None] * len(cfg.modalities)
-        ins[spec.img_slot] = img
-        ins[spec.txt_slot] = batch["y"]          # token ids ride the target slot
-        feats = mat_apply(cfg, params, ins, feat_out=True, train=True, rng=rng)
+    else:                                         # img+txt contrastive
+        feats = mat_apply(cfg, params, ins, feat_out=True, train=True,
+                          rng=rng)
         loss = _mm_criterion(spec.criterion)(feats[spec.img_slot],
                                              feats[spec.txt_slot], valid)
         correct = jnp.zeros((), jnp.int32)
-    else:
-        raise NotImplementedError(spec.modality)
 
     if spec.algorithm == "fedprox" and spec.mu > 0:
         loss = loss + losses.fedprox_term(params, global_params, spec.mu)
@@ -267,7 +297,8 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
         batch = resident_gather(spec, data, step["idx"], step["valid"])
         if aug_rng is not None:
             batch["x"] = device_augment(batch["x"], aug_rng, spec.aug_crop,
-                                        spec.aug_randhf, spec.aug_randvf)
+                                        spec.aug_randhf, spec.aug_randvf,
+                                        resize=spec.aug_resize)
         return batch
 
     def chunk_fn(params, opt_state, chunk, rng, lr, global_params,

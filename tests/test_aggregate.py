@@ -269,3 +269,22 @@ def test_streaming_closed_form_golden():
     res, eff = agg.streaming_closed_form(1.0, list(enumerate(cs)))
     got = res * g + sum(e * w for e, w in zip(eff, ws))
     np.testing.assert_allclose(got, f, rtol=1e-12)
+
+
+def test_creamfl_zero_denominator_raises():
+    """CreamFL normalisation has no zero-denominator guard upstream
+    (creamflserver.py:276-279 divides unguarded): when no sampled client
+    contributes to a param, raising beats the silent all-zero global the
+    zero-init accumulate would otherwise write."""
+    import pytest
+    from fedcola_tpu.federation.aggregate import (ClientMeta,
+                                                  compute_coefficients)
+
+    clients = {0: ClientMeta(0, "CIFAR100", "img", "cls", 10)}
+    with pytest.raises(ZeroDivisionError, match="no sampled client"):
+        compute_coefficients(
+            model_dataset="Coco", model_modality="img+txt",
+            model_task="rtv", required_names=["norm.weight"],
+            param_scope={"norm.weight": "dataset"}, clients=clients,
+            sorted_ids=[0], updated_sizes={0: 10},
+            experiment_modalities=["img", "img+txt"], creamfl=True)

@@ -59,3 +59,25 @@ def test_main_cli_end_to_end(tmp_path):
     # and has nothing left to do -> still exits cleanly and rewrites results
     r2 = _run(tmp_path)
     assert r2.returncode == 0, r2.stderr[-3000:]
+
+
+def test_compensation_dataset_scope_rejected():
+    """--compensation with share_scope dataset/task aggregates NOTHING in
+    the reference (its compensation branch only assigns coefficients for
+    all/modality/modality_exact, fedavgserver.py:640-651, and the
+    accumulate loop skips unassigned names) — reject loudly.  CreamFL has
+    its own all-scope compensation normaliser and is exempt."""
+    import pytest
+    from fedcola_tpu.config import parse_args
+
+    base = ["--exp_name", "t", "--multi-task", "--datasets",
+            "MedicalAbstracts", "MedicalAbstracts", "--modalities", "txt",
+            "txt", "--Ks", "2", "--model_name", "mome_test_patch16_32",
+            "--compensation"]
+    with pytest.raises(ValueError, match="aggregates NOTHING"):
+        parse_args(base + ["--share_scope", "dataset"])
+    with pytest.raises(ValueError, match="aggregates NOTHING"):
+        parse_args(base + ["--share_scope", "task"])
+    parse_args(base + ["--share_scope", "modality"])          # fine
+    parse_args(base + ["--share_scope", "dataset",
+                       "--algorithm", "creamfl"])             # exempt

@@ -173,3 +173,40 @@ def test_round_index_chunks_match_gathered_chunks():
         np.testing.assert_array_equal(
             g["y"][ix["valid"]],
             ds.targets[ix["idx"]][ix["valid"]].astype(np.int32))
+
+
+def test_augment_resize_before_crop_matches_torchvision():
+    """--resize + --crop: the reference resizes BEFORE RandomCrop
+    (data.py:93-97).  With resize=16 and crop=24 the padded image is
+    exactly crop-sized, so the random crop has ONE position and the whole
+    chain is deterministic — compare bit-exactly."""
+    import numpy as np
+    from fedcola_tpu.data.pipeline import AugmentSpec, _augment
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (3, 32, 32, 3), dtype=np.uint8)
+    aug = AugmentSpec(resize=16, crop=24)
+    ours = _augment(imgs.copy(), aug, np.random.RandomState(1))
+    assert ours.shape == (3, 24, 24, 3)
+
+    # hand-built PIL math (= torchvision's for this configuration;
+    # torchvision itself is not in this image): resize then pad-4 on all
+    # sides makes the image exactly crop-sized, so crop = identity
+    from PIL import Image
+    ref = []
+    for im in imgs:
+        r = np.asarray(Image.fromarray(im).resize((16, 16), Image.BILINEAR))
+        ref.append(np.pad(r, ((4, 4), (4, 4), (0, 0))))
+    np.testing.assert_array_equal(ours, np.stack(ref))
+
+
+def test_augment_pad_if_needed_no_resize():
+    """crop larger than native+8 pads instead of crashing (torchvision
+    pad_if_needed=True, data.py:96)."""
+    import numpy as np
+    from fedcola_tpu.data.pipeline import AugmentSpec, _augment
+
+    imgs = np.full((2, 8, 8, 3), 200, dtype=np.uint8)
+    out = _augment(imgs, AugmentSpec(crop=32), np.random.RandomState(0))
+    assert out.shape == (2, 32, 32, 3)
+    assert (out == 200).any() and (out == 0).any()   # content + padding

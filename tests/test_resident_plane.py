@@ -195,3 +195,70 @@ def test_resident_budget_is_one_ledger(tmp_path, monkeypatch):
     server.update()
     server.evaluate([])
     assert "server_evaluated_Coco" in server.results[1]
+
+
+def test_device_augment_resize_before_crop():
+    """Device twin of the host resize-before-crop order: with resize=16
+    and crop=24 the crop position is deterministic (padded == crop), so
+    host and device agree up to the bilinear implementations (PIL vs
+    jax.image.resize) — a linear ramp makes both exact."""
+    import jax
+    import numpy as np
+    from fedcola_tpu.data.pipeline import AugmentSpec, _augment
+    from fedcola_tpu.parallel.client_update import device_augment
+
+    ramp = np.linspace(0, 248, 32, dtype=np.float32)
+    imgs = np.broadcast_to(ramp[None, :, None, None],
+                           (2, 32, 32, 3)).astype(np.uint8).copy()
+    host = _augment(imgs.copy(), AugmentSpec(resize=16, crop=24),
+                    np.random.RandomState(0))
+    dev = np.asarray(device_augment(
+        imgs, jax.random.PRNGKey(0), crop=24, randhf=None, randvf=None,
+        resize=16))
+    assert dev.shape == (2, 24, 24, 3)
+    # bilinear of a vertical linear ramp is near-exact in both
+    # implementations; allow 1 uint8 level of rounding slack
+    assert np.abs(host.astype(int) - dev.astype(int)).max() <= 1
+
+
+def test_device_augment_pad_if_needed():
+    import jax
+    import numpy as np
+    from fedcola_tpu.parallel.client_update import device_augment
+
+    imgs = np.full((2, 8, 8, 3), 200, dtype=np.uint8)
+    out = np.asarray(device_augment(imgs, jax.random.PRNGKey(0), crop=32,
+                                    randhf=None, randvf=None))
+    assert out.shape == (2, 32, 32, 3)
+    assert (out == 200).any() and (out == 0).any()
+
+
+def test_preprocess_center_crop_eval_path():
+    """--crop at eval: preprocess_images applies the reference's
+    deterministic Resize -> CenterCrop to raw (non-crop-sized) images and
+    leaves already-cropped train batches untouched (data.py:93-97)."""
+    import jax.numpy as jnp
+    import jax
+    import numpy as np
+    from fedcola_tpu.parallel.client_update import GroupSpec, \
+        preprocess_images
+
+    spec = GroupSpec(modality="img", criterion="CrossEntropyLoss",
+                     imnorm=False, aug_resize=16, center_crop=8)
+    raw = np.random.RandomState(0).randint(
+        0, 255, (2, 12, 12, 3), dtype=np.uint8)
+    out = np.asarray(preprocess_images(jnp.asarray(raw), spec,
+                                       jnp.float32))
+    assert out.shape == (2, 8, 8, 3)
+    # golden: resize 12->16 in float pixel space, center-crop 8
+    ref = jax.image.resize(jnp.asarray(raw, jnp.float32) / 255.0,
+                           (2, 16, 16, 3), "bilinear")[:, 4:12, 4:12, :]
+    np.testing.assert_allclose(out, np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    # train batch already crop-sized: untouched by the eval chain
+    pre = np.random.RandomState(1).randint(
+        0, 255, (2, 8, 8, 3), dtype=np.uint8)
+    out2 = np.asarray(preprocess_images(jnp.asarray(pre), spec,
+                                        jnp.float32))
+    np.testing.assert_allclose(out2, pre.astype(np.float32) / 255.0,
+                               rtol=1e-6, atol=1e-7)
