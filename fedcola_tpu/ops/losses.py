@@ -66,15 +66,21 @@ def painless_bce(logits: jnp.ndarray, targets: jnp.ndarray,
 
 def seq2seq_ce(logits: jnp.ndarray, targets: jnp.ndarray,
                valid: Optional[jnp.ndarray] = None,
-               ignore_index: int = -1) -> jnp.ndarray:
-    """CE over [B, L, V] logits vs [B, L] targets, ignoring `ignore_index`
-    (reference src/utils.py:303-315).  ``valid`` masks padded batch rows
+               ignore_indices=(0, 1, 2, 3)) -> jnp.ndarray:
+    """CE over [B, L, V] logits vs [B, L] targets, ignoring special tokens
+    (reference ``Seq2SeqLoss``, src/utils.py:303-315: targets in
+    ``ignore_indices`` — default [0, 1, 2, 3], the special-token ids — are
+    remapped to -1 and excluded via ``ignore_index=-1``; a batch of ONLY
+    special tokens yields 0.0, which ``_masked_mean``'s max(count, 1)
+    denominator reproduces).  ``valid`` masks padded batch rows
     (drop_last=False parity): their tokens are excluded from the mean even
     though the padding duplicates real token ids."""
     B, L, V = logits.shape
     flat_logits = logits.reshape(B * L, V).astype(jnp.float32)
     flat_t = targets.reshape(B * L)
-    keep = (flat_t != ignore_index)
+    keep = (flat_t != -1)
+    for ig in ignore_indices:
+        keep = keep & (flat_t != ig)
     if valid is not None:
         keep = keep & jnp.repeat(valid, L)
     logp = jax.nn.log_softmax(flat_logits, axis=-1)
@@ -132,7 +138,14 @@ def seg_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     """CE + Dice combination (reference ``SegLoss``,
     segmentation_loss.py:35-50).  logits: [B, C, ...], targets: [B, ...]
     integer labels (the reference indexes target[:, 0]).  ``valid`` masks
-    padded batch rows in both terms."""
+    padded batch rows in both terms.
+
+    Deliberate divergence: the reference's Dice term flattens the
+    softmax as [B, C*H*W] but ``F.one_hot(target)`` (un-indexed, so
+    [B, 1, H, W, C]) as [B, H*W*C] — the elementwise product pairs
+    unrelated (class, pixel) entries, so upstream Dice is scrambled
+    (segmentation_loss.py:24-28,48).  We align the one-hot to the class
+    axis (the intended math); documented in PARITY.md E3."""
     B, C = logits.shape[0], logits.shape[1]
     flat_logits = jnp.moveaxis(logits, 1, -1).reshape(-1, C)
     t = targets[:, 0] if targets.ndim == logits.ndim else targets

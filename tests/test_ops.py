@@ -168,21 +168,29 @@ def test_grad_clip_matches_torch():
 
 def test_seq2seq_ce_masks_padded_rows():
     """Padded partial-batch rows must not bias the token mean
-    (drop_last=False parity: padding duplicates real rows)."""
+    (drop_last=False parity: padding duplicates real rows), and the
+    reference's special-token remap (Seq2SeqLoss, src/utils.py:303-315:
+    targets in [0,1,2,3] -> ignore_index=-1) is applied by default."""
     import torch
     from fedcola_tpu.ops.losses import seq2seq_ce
     rng = np.random.RandomState(0)
     B, L, V = 4, 5, 7
     logits = rng.randn(B, L, V).astype(np.float32)
-    targets = rng.randint(0, V, (B, L))
-    targets[1, 3:] = -1                      # some ignored tokens
+    targets = rng.randint(0, V, (B, L))      # ids 0-3 are special tokens
+    targets[1, 3:] = -1                      # some pre-ignored tokens
     valid = np.array([True, True, True, False])
     ours = float(seq2seq_ce(jnp.asarray(logits), jnp.asarray(targets),
                             jnp.asarray(valid)))
+    # the reference Seq2SeqLoss forward, verbatim semantics
+    t = torch.tensor(targets[:3]).reshape(-1).clone()
+    t[torch.isin(t, torch.tensor([0, 1, 2, 3]))] = -1
     ref = torch.nn.functional.cross_entropy(
-        torch.tensor(logits[:3]).reshape(-1, V),
-        torch.tensor(targets[:3]).reshape(-1), ignore_index=-1)
+        torch.tensor(logits[:3]).reshape(-1, V), t, ignore_index=-1)
     np.testing.assert_allclose(ours, float(ref), rtol=1e-5)
+    # all-special-token batch returns 0.0 (reference's zero fallback)
+    all_special = np.zeros((B, L), dtype=np.int64)
+    z = float(seq2seq_ce(jnp.asarray(logits), jnp.asarray(all_special)))
+    assert z == 0.0
 
 
 def test_seg_loss_dispatchable_and_masked():
