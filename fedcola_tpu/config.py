@@ -480,6 +480,20 @@ def check_args(cfg: ExperimentConfig) -> ExperimentConfig:
     if (cfg.datasets and NUM_CLASS.get(cfg.datasets[-1]) == 2
             and cfg.criterion == "CrossEntropyLoss"):
         cfg.criterion = "BCEWithLogitsLoss"
+    # FedIoT is DEFINED by its sharing rule (reference README.md:70:
+    # shared_param=blocks, share_scope=modality_exact on fedavg machinery;
+    # the upstream fediot modules are missing, so the algorithm name alone
+    # carries no behavior).  The canonical scripts pass the two flags
+    # explicitly; when a bare `--algorithm fediot` leaves both at their
+    # defaults, apply the documented alias rather than silently running
+    # plain-FedAvg sharing under a FedIoT label.  Explicit non-default
+    # choices are honored (they override the alias).
+    if (cfg.algorithm == "fediot" and cfg.shared_param == "none"
+            and cfg.share_scope == "dataset"):
+        cfg.shared_param, cfg.share_scope = "blocks", "modality_exact"
+        logger.info("[CONFIG] fediot: applied the documented sharing alias "
+                    "shared_param=blocks share_scope=modality_exact "
+                    "(reference README.md:70)")
     # a dataset name may appear at most once among the CLIENT entries:
     # clients of one name share a single TaskDataset (the resident data
     # plane stages that one object) and the servers key groups, global

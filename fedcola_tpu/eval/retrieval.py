@@ -80,10 +80,10 @@ def extract_features(cfg: MATConfig, spec: GroupSpec, params,
             caption_classes.append(image_id)
 
     window = DispatchWindow(drain_one)
+    from fedcola_tpu.utils.dispatch import pad_batch_indices
     for start in range(0, n, batch_size):
         idx = order[start:start + batch_size]
-        pad = batch_size - len(idx)
-        gidx = np.concatenate([idx, np.repeat(idx[:1], pad)]) if pad else idx
+        gidx = pad_batch_indices(idx, batch_size)
         if resident is not None:
             batch = {"idx": gidx.astype(np.int32)}
         else:

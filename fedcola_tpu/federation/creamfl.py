@@ -65,8 +65,15 @@ PUB_TEMPERATURE = 0.5  # hardcoded in the reference (creamflclient.py:166+)
 class CreamflServer(FedAvgServer):
     def __init__(self, cfg, data, writer=None):
         super().__init__(cfg, data, writer)
-        self.mm_dataset = next(ds for ds in cfg.client_datasets
-                               if DATASET_2_MODALITY[ds] == "img+txt")
+        try:
+            self.mm_dataset = next(ds for ds in cfg.client_datasets
+                                   if DATASET_2_MODALITY[ds] == "img+txt")
+        except StopIteration:
+            raise ValueError(
+                "--algorithm creamfl requires an img+txt client dataset "
+                "(the public set / KD distillation train the multimodal "
+                f"global model); got --datasets {list(cfg.client_datasets)}"
+            ) from None
         self._load_pub_set()
         self.g_img = None
         self.g_txt = None
@@ -92,7 +99,17 @@ class CreamflServer(FedAvgServer):
                                    image_size=cfg.resize or 224)
             ds.materialize_images()
             idx = np.arange(ds.n)
-        except (FileNotFoundError, OSError, KeyError):
+        except (FileNotFoundError, OSError, KeyError) as e:
+            if not cfg.synthetic_data:
+                # same loud banner contract as the main loader
+                # (loaders.py): a mistyped --pub_anno_path must not
+                # silently train every contrastive/KD phase on noise
+                logger.warning(
+                    "=== SYNTHETIC DATA === CreamFL public set: could not "
+                    "load real COCO public data (%s: %s); falling back to "
+                    "a synthetic public set — results are NOT meaningful "
+                    "for real runs (check --pub_data_dir/--pub_anno_path)",
+                    type(e).__name__, e)
             mm_cfg = self.model_cfgs[self.mm_dataset]
             n = cfg.num_pub_samples - cfg.num_pub_samples % 5
             ds = fetch_synthetic("Coco", "img+txt", "rtv", max(n, 5), None,
@@ -109,12 +126,10 @@ class CreamflServer(FedAvgServer):
         """Host-side (numpy) public-set batches, padded to pub_batch_size."""
         B = self.cfg.pub_batch_size
         out = []
+        from fedcola_tpu.utils.dispatch import pad_batch_indices
         for s in range(0, self.n_pub, B):
             e = min(s + B, self.n_pub)
-            pad = B - (e - s)
-            sel = np.arange(s, e)
-            if pad:
-                sel = np.concatenate([sel, np.repeat(sel[:1], pad)])
+            sel = pad_batch_indices(np.arange(s, e), B)
             valid = np.zeros((B,), bool); valid[:e - s] = True
             out.append({"img": self.pub_images[sel],
                         "txt": self.pub_texts[sel],
@@ -309,19 +324,13 @@ class CreamflServer(FedAvgServer):
         do_pub = cfg.interintra_weight > 0 and not (
             cfg.no_mm_contrastive and spec.modality == "img+txt")
         # on-device metric accumulators (one readback per group per round)
-        acc = self._shard_clients({
-            "l": jnp.zeros((n_pad,), jnp.float32),
-            "c": jnp.zeros((n_pad,), jnp.float32),
-            "n": jnp.zeros((n_pad,), jnp.float32)})
+        acc = self._init_metric_acc(n_pad)
         for _ in range(cfg.E):
             epoch_it = (feeder.round_index_chunks(1) if data_dev is not None
                         else feeder.epoch_chunks())
             for chunk in Prefetcher(epoch_it):
-                if n_pad != n:
-                    chunk = {k2: np.concatenate(
-                        [v, np.zeros((n_pad - n,) + v.shape[1:], v.dtype)])
-                        for k2, v in chunk.items()}
-                chunk = self.mesh_plan.shard_chunk(chunk)
+                chunk = self.mesh_plan.shard_chunk(
+                    self._pad_chunk(chunk, n, n_pad))
                 self.key, k = jax.random.split(self.key)
                 rngs = self._shard_clients(jax.random.split(k, n_pad))
                 if data_dev is not None:
@@ -332,10 +341,7 @@ class CreamflServer(FedAvgServer):
                     stacked, opt_state, (ls, cs, ns) = update_fn(
                         stacked, opt_state, chunk, rngs,
                         jnp.float32(self.curr_lr), gp)
-                nsf = ns.astype(jnp.float32)
-                acc = {"l": acc["l"] + (ls.astype(jnp.float32) * nsf).sum(1),
-                       "c": acc["c"] + cs.astype(jnp.float32).sum(1),
-                       "n": acc["n"] + nsf.sum(1)}
+                acc = self._accumulate_metrics(acc, ls, cs, ns)
             if do_pub:
                 for b in self._pub_batches():
                     self.key, k = jax.random.split(self.key)
@@ -358,29 +364,9 @@ class CreamflServer(FedAvgServer):
 
         from fedcola_tpu.federation.aux import fold_aux_into_upload
         upload = fold_aux_into_upload(mcfg, stacked)
-        loss_sums = self.mesh_plan.to_host(acc["l"]).astype(np.float64)[:n]
-        cor = self.mesh_plan.to_host(acc["c"]).astype(np.float64)[:n]
-        cnt = self.mesh_plan.to_host(acc["n"]).astype(np.float64)[:n]
-        # same numerics sanitizer as FedAvgServer._train_group (task-epoch
-        # losses; the pub-phase losses are not tracked upstream either) —
-        # without it a diverging CreamFL client proceeds silently until
-        # the post-aggregation param guard, losing the which-client
-        # diagnostic
-        bad = ~np.isfinite(loss_sums)
-        if bad.any():
-            msg = (f"non-finite training loss in round {self.round} for "
-                   f"dataset {ds!r}, clients "
-                   f"{[ids[j] for j in np.nonzero(bad)[0]]} "
-                   f"(lr={self.curr_lr:.3g}; rerun with --detect_anomaly "
-                   f"for op-level NaN tracing)")
-            if self.cfg.detect_anomaly:
-                raise FloatingPointError(msg)
-            logger.warning("%s — continuing; aggregation will abort if the "
-                           "global params go non-finite", msg)
-        metrics = {cid: {"loss": float(loss_sums[j] / max(cnt[j], 1)),
-                         "acc1": float(cor[j] / max(cnt[j], 1))}
-                   for j, cid in enumerate(ids)}
-        return upload, metrics
+        # shared readback + numerics sanitizer (task-epoch losses; the
+        # pub-phase losses are not tracked upstream either)
+        return upload, self._readback_group_metrics(acc, ds, ids)
 
     # ------------------------------------------------ feature aggregation ---
 
@@ -470,24 +456,10 @@ class CreamflServer(FedAvgServer):
             for ds, ids in groups.items():
                 uploads[ds], m = self._train_group(ds, ids)
                 round_metrics.update(m)
-        self.results[self.round]["clients_updated"] = round_metrics
         # training-loss cohort summary, same record the FedAvg round
         # writes (reference _log_results runs for every algorithm,
         # fedavgserver.py:362-379)
-        tr_losses = [round_metrics[i]["loss"] for i in sampled]
-        tr_sizes = [updated_sizes[i] for i in sampled]
-        summary = self.summarize_losses(tr_losses, tr_sizes)
-        self.results[self.round]["clients_updated_summary"] = \
-            {"loss": summary}
-        logger.info("[CREAMFL] [Round %04d] [UPDATE] [SUMMARY] (%d clients)"
-                    " loss avg %.4f std %.4f | top10%% %.4f | bottom10%% "
-                    "%.4f", self.round, len(sampled), summary["avg"],
-                    summary["std"], summary["top10p_avg"],
-                    summary["bottom10p_avg"])
-        if self.writer:
-            self.writer.log({"Local Training Loss/Avg.": summary["avg"],
-                             "Local Training Loss/Std.": summary["std"]},
-                            self.round)
+        self._record_update_summary(sampled, round_metrics, updated_sizes)
 
         # contrastive-weighted public feature aggregation
         img_ids = [i for i in sampled if self.clients[i].modality == "img"]
@@ -500,9 +472,7 @@ class CreamflServer(FedAvgServer):
             vecs = jnp.stack([self._pub_feats[i] for i in txt_ids])
             txt_vec = self._contrastive_weighted(vecs, self.g_img)
 
-        group_members = {ds: ids + [-1] * (self._pad_to_mesh(len(ids))
-                                           - len(ids))
-                         for ds, ids in groups.items()}
+        group_members = self._padded_group_members(groups)
         client_cfgs = {ds: self.model_cfgs[ds] for ds in groups}
         exp_modalities = cfg.modalities or [DATASET_2_MODALITY[d]
                                             for d in cfg.client_datasets]

@@ -111,7 +111,7 @@ class FedOptServer(FedAvgServer):
                 continue
             z = np.load(f)
             for p, name in naming.param_names(self.model_cfgs[ds]):
-                if f"m {name}" in z:
+                if f"m {name}" in z and f"v {name}" in z:
                     naming.set_by_path(self.server_m[ds], p,
                                        jnp.asarray(z[f"m {name}"]))
                     naming.set_by_path(self.server_v[ds], p,

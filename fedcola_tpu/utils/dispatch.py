@@ -22,6 +22,19 @@ from typing import Callable
 EVAL_INFLIGHT = max(1, int(os.environ.get("FEDCOLA_EVAL_INFLIGHT", 8)))
 
 
+def pad_batch_indices(idx, B: int):
+    """Pad a partial batch's index vector to the fixed batch size ``B`` by
+    repeating the first row (fixed shapes keep one compiled program per
+    batch size; readers trim the readback with ``[:len(idx)]``).  The one
+    pad/trim contract shared by central eval, serial local eval, retrieval
+    feature extraction, and the CreamFL pub batches."""
+    import numpy as np
+    pad = B - len(idx)
+    if pad <= 0:
+        return idx
+    return np.concatenate([idx, np.repeat(idx[:1], pad)])
+
+
 class DispatchWindow:
     """Bounded dispatch-ahead queue.
 

@@ -81,3 +81,52 @@ def test_compensation_dataset_scope_rejected():
     parse_args(base + ["--share_scope", "modality"])          # fine
     parse_args(base + ["--share_scope", "dataset",
                        "--algorithm", "creamfl"])             # exempt
+
+
+def test_fediot_applies_documented_sharing_alias():
+    """FedIoT is defined by its sharing rule (reference README.md:70:
+    shared_param=blocks, share_scope=modality_exact; the upstream fediot
+    modules are missing so the name alone carries no behavior).  A bare
+    --algorithm fediot must not silently run plain-FedAvg sharing;
+    explicit non-default choices win over the alias."""
+    from fedcola_tpu.config import parse_args
+
+    base = ["--exp_name", "t", "--multi-task", "--datasets",
+            "MedicalAbstracts", "MedicalAbstracts", "--modalities", "txt",
+            "txt", "--Ks", "2", "--model_name", "mome_test_patch16_32",
+            "--algorithm", "fediot"]
+    cfg = parse_args(list(base))
+    assert cfg.shared_param == "blocks"
+    assert cfg.share_scope == "modality_exact"
+    # explicit flags are honored (the canonical scripts pass them)
+    cfg = parse_args(base + ["--shared_param", "attn",
+                             "--share_scope", "modality"])
+    assert cfg.shared_param == "attn"
+    assert cfg.share_scope == "modality"
+    # non-fediot algorithms keep their defaults
+    cfg = parse_args([*base[:-1], "fedavg"])
+    assert cfg.shared_param == "none"
+    assert cfg.share_scope == "dataset"
+
+
+def test_creamfl_requires_multimodal_dataset():
+    """CreamFL's public plane trains the img+txt global model; a config
+    without one must fail with a named error, not a StopIteration deep in
+    server construction."""
+    import pytest
+
+    from fedcola_tpu.config import parse_args
+    from fedcola_tpu.data.loaders import load_federated_data
+    from fedcola_tpu.federation.server import create_server
+
+    cfg = parse_args(
+        ["--exp_name", "t", "--multi-task", "--datasets",
+         "MedicalAbstracts", "MedicalAbstracts", "--modalities", "txt",
+         "txt", "--Ks", "2", "--Cs", "1.0", "--model_name",
+         "mome_test_patch16_32", "--algorithm", "creamfl",
+         "--synthetic_data", "--no_pallas", "--compute_dtype", "float32",
+         "--seq_len", "12", "--vocab_size", "80", "--R", "1",
+         "--num_pub_samples", "10", "--pub_batch_size", "5"])
+    data = load_federated_data(cfg, np.random.RandomState(cfg.seed))
+    with pytest.raises(ValueError, match="img\\+txt client dataset"):
+        create_server(cfg, data)
