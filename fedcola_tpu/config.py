@@ -286,8 +286,11 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
     add("--modalities", type=str, nargs="+", default=[])
     add("--Ks", type=int, nargs="+", default=[1])
     add("--Cs", type=float, nargs="+", default=[0.25])
-    add("--shared_param", type=str, default="none")
-    add("--share_scope", type=str, default="dataset")
+    # None sentinels (resolved to none/dataset post-parse) so an explicitly
+    # passed default is distinguishable from an omitted flag — the fediot
+    # alias must not rewrite a deliberate `--shared_param none`
+    add("--shared_param", type=str, default=None)
+    add("--share_scope", type=str, default=None)
     add("--colearn_param", type=str, default="none")
     add("--compensation", action="store_true")
     add("--reduce_samples", type=int, default=50000)
@@ -401,14 +404,27 @@ def parse_args(argv=None) -> ExperimentConfig:
         if not isinstance(parsed, list):
             parsed = [parsed]
         d["out_modality_scales"] = [float(x) for x in parsed]
+    # resolve the None sentinels, remembering which flags the user passed
+    explicit = {k for k in ("shared_param", "share_scope")
+                if d.get(k) is not None}
+    if d.get("shared_param") is None:
+        d["shared_param"] = "none"
+    if d.get("share_scope") is None:
+        d["share_scope"] = "dataset"
     cfg = ExperimentConfig(**{k: v for k, v in d.items()
                               if k in {f.name for f in dataclasses.fields(ExperimentConfig)}})
-    return check_args(cfg)
+    return check_args(cfg, explicit_flags=explicit)
 
 
-def check_args(cfg: ExperimentConfig) -> ExperimentConfig:
+def check_args(cfg: ExperimentConfig,
+               explicit_flags: Optional[set] = None) -> ExperimentConfig:
     """Validation + derived settings (reference src/utils.py:184-281 and
-    main.py:282-284, fedavgserver.py:137-142)."""
+    main.py:282-284, fedavgserver.py:137-142).
+
+    ``explicit_flags`` (from parse_args) names sharing flags the user passed
+    on the CLI; directly-constructed configs leave it None, in which case
+    default *values* are treated as unset (the pre-round-4 behavior).
+    """
     if cfg.aux_attn_only and cfg.aux_mlp_only:
         raise ValueError("Both aux_attn_only and aux_mlp_only cannot be True "
                          "(reference mome.py:773-775).")
@@ -445,6 +461,32 @@ def check_args(cfg: ExperimentConfig) -> ExperimentConfig:
                          f"supported: {sorted(known_criteria)} "
                          "(reference validates against torch.nn names, "
                          "src/utils.py:212-230)")
+    # FedIoT is DEFINED by its sharing rule (reference README.md:70:
+    # shared_param=blocks, share_scope=modality_exact on fedavg machinery;
+    # the upstream fediot modules are missing, so the algorithm name alone
+    # carries no behavior).  The canonical scripts pass the two flags
+    # explicitly; when a bare `--algorithm fediot` leaves both unset, apply
+    # the documented alias rather than silently running plain-FedAvg
+    # sharing under a FedIoT label.  Runs BEFORE the compensation check so
+    # `--algorithm fediot --compensation` validates against the effective
+    # share_scope (modality_exact), which compensation supports.
+    if cfg.algorithm == "fediot":
+        unset = ((explicit_flags is not None
+                  and not ({"shared_param", "share_scope"} & explicit_flags))
+                 or (explicit_flags is None and cfg.shared_param == "none"
+                     and cfg.share_scope == "dataset"))
+        if unset:
+            cfg.shared_param, cfg.share_scope = "blocks", "modality_exact"
+            logger.info("[CONFIG] fediot: applied the documented sharing "
+                        "alias shared_param=blocks share_scope="
+                        "modality_exact (reference README.md:70)")
+        elif cfg.shared_param == "none" and cfg.share_scope == "dataset":
+            logger.warning(
+                "[CONFIG] fediot with explicit --shared_param none "
+                "--share_scope dataset: honoring the explicit flags — this "
+                "runs plain-FedAvg sharing under the fediot label (the "
+                "documented fediot rule is shared_param=blocks "
+                "share_scope=modality_exact, reference README.md:70)")
     if (cfg.compensation and cfg.share_scope in ("dataset", "task")
             and cfg.algorithm != "creamfl"):
         # the reference's compensation branch only normalises for
@@ -480,20 +522,6 @@ def check_args(cfg: ExperimentConfig) -> ExperimentConfig:
     if (cfg.datasets and NUM_CLASS.get(cfg.datasets[-1]) == 2
             and cfg.criterion == "CrossEntropyLoss"):
         cfg.criterion = "BCEWithLogitsLoss"
-    # FedIoT is DEFINED by its sharing rule (reference README.md:70:
-    # shared_param=blocks, share_scope=modality_exact on fedavg machinery;
-    # the upstream fediot modules are missing, so the algorithm name alone
-    # carries no behavior).  The canonical scripts pass the two flags
-    # explicitly; when a bare `--algorithm fediot` leaves both at their
-    # defaults, apply the documented alias rather than silently running
-    # plain-FedAvg sharing under a FedIoT label.  Explicit non-default
-    # choices are honored (they override the alias).
-    if (cfg.algorithm == "fediot" and cfg.shared_param == "none"
-            and cfg.share_scope == "dataset"):
-        cfg.shared_param, cfg.share_scope = "blocks", "modality_exact"
-        logger.info("[CONFIG] fediot: applied the documented sharing alias "
-                    "shared_param=blocks share_scope=modality_exact "
-                    "(reference README.md:70)")
     # a dataset name may appear at most once among the CLIENT entries:
     # clients of one name share a single TaskDataset (the resident data
     # plane stages that one object) and the servers key groups, global

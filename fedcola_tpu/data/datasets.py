@@ -224,13 +224,32 @@ def fetch_medabstracts(root: str, train: bool, tokenizer: WordPieceTokenizer,
 
 # ---------------------------------------------------------------- MedMNIST --
 
-MEDMNIST_FLAGS = {"ct": "organamnist", "mic": "bloodmnist",
-                  "pat": "pathmnist", "der": "dermamnist"}
+# Modality flag -> medmnist subset (medmnist.py:11-17: data_flag_dict).
+MEDMNIST_FLAGS = {"pat": "pathmnist", "ct": "organcmnist",
+                  "img": "organcmnist", "mic": "bloodmnist",
+                  "der": "dermamnist"}
+# len(medmnist.INFO[flag]['label']) — the reference sets args.num_classes
+# from the INFO table (medmnist.py:69), not from the labels present, so a
+# --reduce_samples truncation never shrinks the head.
+MEDMNIST_NUM_CLASSES = {"pathmnist": 9, "organcmnist": 11,
+                        "bloodmnist": 8, "dermamnist": 7}
 
 
 def fetch_medmnist(root: str, train: bool, modality_flag: str = "pat",
-                   reduce_samples: int = -1) -> TaskDataset:
-    """<flag>.npz with {split}_images / {split}_labels (medmnist.py:11-70)."""
+                   reduce_samples: int = -1,
+                   reduce_samples_cls_scale: float = -1.0,
+                   reduce_test_samples: int = -1) -> TaskDataset:
+    """<flag>.npz with {split}_images / {split}_labels (medmnist.py:11-70).
+
+    ``modality_flag`` is the dataset's ``--modalities`` entry (ct/img/mic/
+    pat/der, reference data.py:295 passes args.modality); the returned
+    dataset keeps that flag as its modality, exactly like the reference's
+    ``raw_train.modality = modality`` (medmnist.py:47) — so scope filters
+    and warmup/freeze matching treat MedMNIST clients by flag, not 'img'.
+    ``reduce_samples`` takes priority over ``reduce_samples_cls_scale``
+    (elif chain, medmnist.py:34-40); both apply to train only, while
+    ``reduce_test_samples`` truncates test (medmnist.py:57-59).
+    """
     flag = MEDMNIST_FLAGS.get(modality_flag, modality_flag)
     path = os.path.join(root, f"{flag}.npz")
     z = np.load(path)
@@ -239,10 +258,18 @@ def fetch_medmnist(root: str, train: bool, modality_flag: str = "pat",
     labels = z[f"{split}_labels"].reshape(-1).astype(np.int64)
     if images.ndim == 3:
         images = images[..., None]
-    if reduce_samples > 0 and train:
-        images, labels = images[:reduce_samples], labels[:reduce_samples]
-    return TaskDataset(name="MedMNIST", task="cls", modality="img",
-                       num_classes=int(labels.max()) + 1, n=len(labels),
+    if train:
+        if reduce_samples > 0:
+            images, labels = images[:reduce_samples], labels[:reduce_samples]
+        elif reduce_samples_cls_scale > 0:
+            new_num = int(len(labels) * reduce_samples_cls_scale)
+            images, labels = images[:new_num], labels[:new_num]
+    elif 0 < reduce_test_samples < len(labels):
+        images = images[:reduce_test_samples]
+        labels = labels[:reduce_test_samples]
+    num_classes = MEDMNIST_NUM_CLASSES.get(flag, int(labels.max()) + 1)
+    return TaskDataset(name="MedMNIST", task="cls", modality=modality_flag,
+                       num_classes=num_classes, n=len(labels),
                        images=images.astype(np.uint8), targets=labels)
 
 
@@ -419,7 +446,9 @@ def fetch_dataset(name: str, root: str, train: bool,
         return fetch_medabstracts(root, train, tokenizer, seq_len)
     if name == "MedMNIST":
         return fetch_medmnist(root, train, kw.get("modality_flag", "pat"),
-                              kw.get("reduce_samples", -1))
+                              kw.get("reduce_samples", -1),
+                              kw.get("reduce_samples_cls_scale", -1.0),
+                              kw.get("reduce_test_samples", -1))
     if name == "Flickr30k":
         return fetch_flickr30k(root, train, tokenizer, seq_len,
                                kw.get("train_all", False),

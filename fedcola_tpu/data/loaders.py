@@ -55,6 +55,14 @@ def load_federated_data(cfg: ExperimentConfig,
     for i, ds in enumerate(datasets):
         root = data_paths[i] if i < len(data_paths) else cfg.data_path
         modality = DATASET_2_MODALITY[ds]
+        # the reference threads the per-dataset --modalities entry as
+        # args.modality into every fetch (data.py:400, :295) and the fetched
+        # dataset keeps it (medmnist.py:47) — so a MedMNIST client's
+        # modality is its flag (ct/img/mic/pat/der), which selects the
+        # medmnist subset AND is what warmup/freeze filters and
+        # modality-scope aggregation compare against
+        client_modality = (cfg.modalities[i] if i < len(cfg.modalities)
+                           else modality)
         task = DATASET_2_TASK[ds]
         tok = None
         if "txt" in modality:
@@ -64,11 +72,13 @@ def load_federated_data(cfg: ExperimentConfig,
         kw = dict(tokenizer=tok, seq_len=cfg.seq_len,
                   synthetic=cfg.synthetic_data,
                   reduce_samples=cfg.reduce_samples,
+                  reduce_samples_cls_scale=cfg.reduce_samples_cls_scale,
                   reduce_test_samples=cfg.reduce_test_samples,
                   train_all=cfg.flickr_train_all,
                   image_size=cfg.resize,
                   num_embeddings=cfg.num_embeddings,
-                  use_bert_tokenizer=cfg.use_bert_tokenizer)
+                  use_bert_tokenizer=cfg.use_bert_tokenizer,
+                  modality_flag=client_modality)
         try:
             train = fetch_dataset(ds, root, True, **kw)
             test = fetch_dataset(ds, root, False, **kw)
@@ -120,7 +130,7 @@ def load_federated_data(cfg: ExperimentConfig,
             out.client_shards.append(ClientShard(dataset=train, indices=idx,
                                                  test_indices=test_idx))
             out.client_meta[cid] = ClientMeta(
-                id=cid, dataset=ds, modality=modality, task=task,
+                id=cid, dataset=ds, modality=client_modality, task=task,
                 n_train=len(idx))
             cid += 1
         logger.info("[LOAD] %s: %d train / %d test -> %d clients",

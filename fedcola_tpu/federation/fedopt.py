@@ -111,11 +111,21 @@ class FedOptServer(FedAvgServer):
                 continue
             z = np.load(f)
             for p, name in naming.param_names(self.model_cfgs[ds]):
-                if f"m {name}" in z and f"v {name}" in z:
+                has_m, has_v = f"m {name}" in z, f"v {name}" in z
+                if has_m and has_v:
                     naming.set_by_path(self.server_m[ds], p,
                                        jnp.asarray(z[f"m {name}"]))
                     naming.set_by_path(self.server_v[ds], p,
                                        jnp.asarray(z[f"v {name}"]))
+                elif has_m or has_v:
+                    # save_checkpoint always writes the pair; an asymmetric
+                    # npz means a corrupt/mismatched checkpoint — restart
+                    # this param's moments from zero, but say so
+                    logger.warning(
+                        "[FEDOPT] checkpoint %s has only one of the m/v "
+                        "moment pair for %r (%s present) — moments for this "
+                        "param restart from zero", f, name,
+                        "m" if has_m else "v")
 
     def update(self):
         old_globals = {ds: p for ds, p in self.global_params.items()}

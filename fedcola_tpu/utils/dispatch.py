@@ -18,6 +18,8 @@ import os
 from collections import deque
 from typing import Callable
 
+import numpy as np
+
 # max batches dispatched ahead of the host readback
 EVAL_INFLIGHT = max(1, int(os.environ.get("FEDCOLA_EVAL_INFLIGHT", 8)))
 
@@ -28,7 +30,9 @@ def pad_batch_indices(idx, B: int):
     batch size; readers trim the readback with ``[:len(idx)]``).  The one
     pad/trim contract shared by central eval, serial local eval, retrieval
     feature extraction, and the CreamFL pub batches."""
-    import numpy as np
+    if len(idx) == 0:
+        raise ValueError("pad_batch_indices needs a non-empty index vector "
+                         "(there is no row to repeat as padding)")
     pad = B - len(idx)
     if pad <= 0:
         return idx

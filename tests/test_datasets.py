@@ -236,3 +236,68 @@ def test_fixture_generators_load_through_real_fetchers(tmp_path):
                           image_size=24)
     assert not set(map(tuple, dtr.texts.tolist())) \
         & set(map(tuple, dte.texts.tolist()))
+
+
+def test_medmnist_flag_selection_and_scaling(tmp_path):
+    """The modality flag selects the medmnist subset (ct/img -> organcmnist,
+    reference medmnist.py:11-17), reduce_samples_cls_scale scales train only
+    when reduce_samples is off (elif chain, medmnist.py:34-40), and
+    num_classes comes from the INFO table, not the labels present."""
+    from fedcola_tpu.data.datasets import (MEDMNIST_FLAGS, fetch_medmnist)
+    rng = np.random.RandomState(0)
+    # synthetic organcmnist: grayscale 28x28, 11 classes
+    np.savez(tmp_path / "organcmnist.npz",
+             train_images=rng.randint(0, 255, (40, 28, 28), np.uint8),
+             train_labels=rng.randint(0, 11, (40, 1)),
+             test_images=rng.randint(0, 255, (10, 28, 28), np.uint8),
+             test_labels=rng.randint(0, 11, (10, 1)))
+    # a decoy pathmnist so a wrong flag map would silently "work"
+    np.savez(tmp_path / "pathmnist.npz",
+             train_images=rng.randint(0, 255, (8, 28, 28, 3), np.uint8),
+             train_labels=rng.randint(0, 9, (8, 1)),
+             test_images=rng.randint(0, 255, (4, 28, 28, 3), np.uint8),
+             test_labels=rng.randint(0, 9, (4, 1)))
+    assert MEDMNIST_FLAGS["ct"] == "organcmnist"
+    assert MEDMNIST_FLAGS["img"] == "organcmnist"
+    for flag in ("ct", "img"):
+        ds = fetch_medmnist(str(tmp_path), train=True, modality_flag=flag)
+        assert ds.n == 40 and ds.images.shape == (40, 28, 28, 1)
+        assert ds.modality == flag          # clients carry the FLAG
+        assert ds.num_classes == 11         # INFO table, even if truncated
+    # reduce_samples wins over the scale (elif)
+    ds = fetch_medmnist(str(tmp_path), True, "ct", reduce_samples=5,
+                        reduce_samples_cls_scale=0.5)
+    assert ds.n == 5 and ds.num_classes == 11
+    # scale fires only when reduce_samples <= 0; train only
+    ds = fetch_medmnist(str(tmp_path), True, "ct", reduce_samples=-1,
+                        reduce_samples_cls_scale=0.5)
+    assert ds.n == 20
+    te = fetch_medmnist(str(tmp_path), False, "ct", reduce_samples=5,
+                        reduce_samples_cls_scale=0.5, reduce_test_samples=3)
+    assert te.n == 3
+    # pat still routes to pathmnist
+    ds = fetch_medmnist(str(tmp_path), True, "pat")
+    assert ds.n == 8 and ds.num_classes == 9 and ds.modality == "pat"
+
+
+def test_medmnist_flag_threaded_from_modalities(tmp_path):
+    """load_federated_data passes the dataset's --modalities entry into
+    fetch_medmnist (reference data.py:295,400) and clients keep it as
+    their modality (medmnist.py:47)."""
+    from fedcola_tpu.config import check_args, ExperimentConfig
+    from fedcola_tpu.data.loaders import load_federated_data
+    rng0 = np.random.RandomState(0)
+    np.savez(tmp_path / "organcmnist.npz",
+             train_images=rng0.randint(0, 255, (40, 28, 28), np.uint8),
+             train_labels=rng0.randint(0, 11, (40, 1)),
+             test_images=rng0.randint(0, 255, (10, 28, 28), np.uint8),
+             test_labels=rng0.randint(0, 11, (10, 1)))
+    cfg = check_args(ExperimentConfig(
+        multi_task=True, datasets=["MedMNIST", "MedMNIST"],
+        modalities=["ct", "ct"], Ks=[2], data_path=str(tmp_path),
+        test_size=-1, split_type="iid", reduce_samples=-1))
+    data = load_federated_data(cfg, np.random.RandomState(cfg.seed))
+    assert data.K == 2
+    assert all(m.modality == "ct" for m in data.client_meta.values())
+    assert data.server_eval["MedMNIST"].n == 10
+    assert data.server_eval["MedMNIST"].num_classes == 11
