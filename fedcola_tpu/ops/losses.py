@@ -192,12 +192,19 @@ def mc_soft_contrastive(img_emb: jnp.ndarray, txt_emb: jnp.ndarray,
 
 
 def fedprox_term(params, global_params, mu: float) -> jnp.ndarray:
-    """mu/2 * ||w - w_g||^2 summed over all leaves
-    (reference fedproxclient.py:64-67)."""
+    """mu * 0.5 * sum of per-tensor L2 *norms* (NOT squared norms):
+    ``prox += (param - global).norm(2)`` per named parameter, then
+    ``loss += mu * (0.5 * prox)`` (reference fedproxclient.py:64-67 — the
+    fork diverges from the FedProx paper's squared norm here; parity
+    follows the code).  torch's norm backward returns 0 at zero distance
+    (the first local step, where w == w_g); the where-guard reproduces
+    that subgradient choice instead of NaN."""
     leaves = jax.tree_util.tree_leaves(params)
     gleaves = jax.tree_util.tree_leaves(global_params)
     acc = jnp.float32(0.0)
     for w, g in zip(leaves, gleaves):
         d = w.astype(jnp.float32) - g.astype(jnp.float32)
-        acc = acc + jnp.sum(d * d)
-    return 0.5 * mu * acc
+        sq = jnp.sum(d * d)
+        norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+        acc = acc + jnp.where(sq > 0, norm, 0.0)
+    return mu * 0.5 * acc
