@@ -80,3 +80,47 @@ def test_n_fold_caption_blocks_follow_image_folds():
     for d in ("i2t", "t2i"):
         assert out[d]["recall_1"] == 1.0
         assert out[d]["meanr"] < n_img + 1
+
+
+@pytest.mark.slow   # ~3 min of [25k, 5k] double argsorts on CPU
+def test_n_fold_at_true_coco_scale_matches_fixed_slices():
+    """At the real COCO eval shape (5000 images / 25000 captions, 5 per
+    image) the searchsorted fold boundaries must equal the reference's
+    FIXED 5000-caption slices exactly (eval_coco.py:353-407), and the full
+    5k i2t/t2i pass must run at this gallery size."""
+    n_img, d = 5000, 32
+    rng = np.random.RandomState(42)
+    img = rng.randn(n_img, d).astype(np.float32)
+    img /= np.linalg.norm(img, axis=1, keepdims=True)
+    # captions = their image + small noise -> high but not perfect recall
+    cap = np.repeat(img, 5, axis=0) + 0.05 * rng.randn(5 * n_img, d).astype(
+        np.float32)
+    cap /= np.linalg.norm(cap, axis=1, keepdims=True)
+    img_cls = np.arange(n_img)
+    cap_cls = np.repeat(img_cls, 5)
+
+    got = evaluate_n_fold(img, cap, img_cls, cap_cls)
+
+    # reference-style fixed slices: images [5k*k : 5k*(k+1)) paired with
+    # captions [5000*k : 5000*(k+1)) per fold
+    folds = {"i2t": [], "t2i": []}
+    for k in range(5):
+        isl = slice(k * 1000, (k + 1) * 1000)
+        csl = slice(k * 5000, (k + 1) * 5000)
+        folds["i2t"].append(evaluate_recall(img[isl], cap[csl],
+                                            img_cls[isl], cap_cls[csl]))
+        folds["t2i"].append(evaluate_recall(cap[csl], img[isl],
+                                            cap_cls[csl], img_cls[isl]))
+    for dkey in ("i2t", "t2i"):
+        for m in folds[dkey][0]:
+            want = float(np.mean([f[m] for f in folds[dkey]]))
+            assert got[dkey][m] == pytest.approx(want, abs=1e-9), (dkey, m)
+
+    # the full 25k x 5k / 5k x 25k pass at the true shape
+    i2t = evaluate_recall(img, cap, img_cls, cap_cls)
+    t2i = evaluate_recall(cap, img, cap_cls, img_cls)
+    # noise level chosen so recall is informative (not 0/1 saturated)
+    assert 0.3 < i2t["recall_1"] <= 1.0
+    assert 0.3 < t2i["recall_1"] <= 1.0
+    # n-fold galleries are 5x smaller -> recall can only improve
+    assert got["i2t"]["recall_1"] >= i2t["recall_1"]
