@@ -120,7 +120,12 @@ def headline(on_tpu):
 
     cfg_fast = MATConfig(use_pallas=on_tpu, use_fused_mlp=on_tpu,
                          compute_dtype="bfloat16",
-                         scan_unroll=base["depth"] if on_tpu else 1, **base)
+                         scan_unroll=base["depth"] if on_tpu else 1,
+                         # A/B hook for the per-layer chunk-internal param
+                         # representation (stacked-kernel relayout lever)
+                         perlayer_io=os.environ.get(
+                             "FEDCOLA_PERLAYER_IO", "0") == "1",
+                         **base)
     # fp32 unfused, sequential clients.  The reference (torch) stores
     # activations with no remat; measured on v5e that variant is SLOWER
     # (910 samples/s, fp32 activation traffic binds HBM at B=96) than

@@ -77,6 +77,14 @@ class MATConfig:
     fused_attn_min_seq: int = 0
     # lax.scan unroll factor for the layer stack (1 = rolled loop)
     scan_unroll: int = 1
+    # per-layer parameter I/O inside the training chunk: stacked
+    # [depth, ...] blk/aux leaves are sliced into per-layer tuples at chunk
+    # entry and restacked at exit (client_update.build_group_update), so
+    # the unrolled layer loop reads whole leaves instead of slicing the
+    # stacked array every step — targeting the profiled 56 MB stacked-
+    # kernel relayout copies XLA inserts between the optimizer's preferred
+    # tiling and the slice consumers (BENCH_NOTES round 3, XLA-tail item 3)
+    perlayer_io: bool = False
     # fused MLP pallas kernel (ops/fused_mlp.py): safe under client-vmapped
     # training too — its custom_vmap rule makes the client axis an outer
     # grid dimension, so weights don't replicate inside VMEM
@@ -326,13 +334,48 @@ def fold_aux_kernels(cfg: MATConfig, blk: Params, aux: Params) -> Params:
     (mome.py:58-60) — the ONE implementation of the reparam fold, shared
     by the forward pass (:func:`_effective_kernels`) and the upload
     fold-in (``federation/aux.py``).  The ``[..., depth] -> [..., depth,
-    1, 1]`` scale broadcast handles single and stacked ([n, ...]) trees."""
+    1, 1]`` scale broadcast handles single and stacked ([n, ...]) trees;
+    per-layer tuples (``perlayer_io``) fold layer by layer."""
     blk = dict(blk)
     for kind in cfg.aux_layer_kinds:
         key = f"{kind}_kernel"
+        if isinstance(blk[key], tuple):
+            blk[key] = tuple(w + s * a for w, s, a in
+                             zip(blk[key], aux[f"{kind}_scale"],
+                                 aux[f"{kind}_aux"]))
+            continue
         scale = aux[f"{kind}_scale"][..., :, None, None]
         blk[key] = blk[key] + scale * aux[f"{kind}_aux"]
     return blk
+
+
+def unstack_layer_leaves(cfg: MATConfig, tree: Params) -> Params:
+    """[depth, ...]-stacked blk/aux leaves -> per-layer tuples (the
+    ``perlayer_io`` chunk-internal representation).  emb/head/norm leaves
+    pass through untouched.  Works on per-client (unstacked-client) trees —
+    i.e. inside the vmapped chunk program."""
+    out = dict(tree)
+    if "blk" in tree:
+        out["blk"] = {s: {k: tuple(v[l] for l in range(cfg.depth))
+                          for k, v in slot.items()}
+                      for s, slot in tree["blk"].items()}
+    if "aux" in tree:
+        out["aux"] = {k: tuple(v[l] for l in range(cfg.depth))
+                      for k, v in tree["aux"].items()}
+    return out
+
+
+def restack_layer_leaves(cfg: MATConfig, tree: Params) -> Params:
+    """Inverse of :func:`unstack_layer_leaves`."""
+    out = dict(tree)
+    if "blk" in tree:
+        out["blk"] = {s: {k: (jnp.stack(v) if isinstance(v, tuple) else v)
+                          for k, v in slot.items()}
+                      for s, slot in tree["blk"].items()}
+    if "aux" in tree:
+        out["aux"] = {k: (jnp.stack(v) if isinstance(v, tuple) else v)
+                      for k, v in tree["aux"].items()}
+    return out
 
 
 def _effective_kernels(cfg: MATConfig, params: Params, slot: str) -> Params:
@@ -465,6 +508,7 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
         h = h + (_drop_path(m, rate, rng_m, train) if use_dp else m)
         return h
 
+    perlayer = isinstance(next(iter(blk.values())), tuple)
     if train:
         layer_rngs = jax.random.split(rng, (cfg.depth, 2))
         # remat: store only per-layer inputs; recompute attention/MLP
@@ -483,6 +527,18 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
         else:
             fwd = jax.checkpoint(layer_fwd)
 
+        if perlayer:
+            # per-layer tuple leaves (perlayer_io): a python loop over
+            # whole-leaf layers — the unrolled-scan equivalent without the
+            # per-step stacked-array slicing (and, in the backward pass,
+            # without the per-layer dW update-slices into a stacked grad)
+            h = x
+            for l in range(cfg.depth):
+                layer = {k: v[l] for k, v in blk.items()}
+                h = fwd(h, layer, dpr[l], layer_rngs[l, 0],
+                        layer_rngs[l, 1])
+            return h
+
         def body(h, xs):
             layer, rate, ks = xs
             return fwd(h, layer, rate, ks[0], ks[1]), None
@@ -490,6 +546,13 @@ def _run_stack(cfg: MATConfig, blk: Params, x: jnp.ndarray,
         out, _ = jax.lax.scan(body, x, (blk, dpr, layer_rngs),
                               unroll=cfg.scan_unroll)
     else:
+        if perlayer:
+            h = x
+            for l in range(cfg.depth):
+                layer = {k: v[l] for k, v in blk.items()}
+                h = layer_fwd(h, layer, dpr[l], None, None)
+            return h
+
         def body(h, xs):
             layer, rate = xs
             return layer_fwd(h, layer, rate, None, None), None

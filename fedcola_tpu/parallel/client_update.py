@@ -286,6 +286,8 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
         def walk(node, path):
             if isinstance(node, dict):
                 return {k: walk(v, path + (k,)) for k, v in node.items()}
+            if isinstance(node, tuple):      # perlayer_io layer tuples
+                return tuple(walk(v, path) for v in node)
             return path in frozen_set
 
         return walk(params, ())
@@ -301,10 +303,25 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
                                         resize=spec.aug_resize)
         return batch
 
+    perlayer = cfg.perlayer_io and cfg.depth > 1
+
     def chunk_fn(params, opt_state, chunk, rng, lr, global_params,
                  data=None):
         """chunk: dict of [S, ...] arrays + step_valid [S].  Returns updated
         (params, opt_state) and per-step (loss, correct, n_valid)."""
+        if perlayer:
+            # chunk-internal per-layer representation (mat.MATConfig.
+            # perlayer_io): one slice pass at entry + one restack at exit
+            # replaces per-step stacked-kernel slicing/relayouts; the
+            # external contract (stacked trees, checkpoints, aggregation)
+            # is untouched
+            from fedcola_tpu.models.mat import (restack_layer_leaves,
+                                                unstack_layer_leaves)
+            params = unstack_layer_leaves(cfg, params)
+            global_params = unstack_layer_leaves(cfg, global_params)
+            opt_state = {k: (unstack_layer_leaves(cfg, v)
+                             if k in ("m", "v", "b") else v)
+                         for k, v in opt_state.items()}
         frozen = make_frozen_mask(params)
         S = chunk["step_valid"].shape[0]
         rngs = jax.random.split(rng, S)
@@ -330,6 +347,11 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
         batches = {k: v for k, v in chunk.items() if k != "step_valid"}
         (params, opt_state), (loss_s, cor_s, nv_s) = jax.lax.scan(
             body, (params, opt_state), (batches, chunk["step_valid"], rngs))
+        if perlayer:
+            params = restack_layer_leaves(cfg, params)
+            opt_state = {k: (restack_layer_leaves(cfg, v)
+                             if k in ("m", "v", "b") else v)
+                         for k, v in opt_state.items()}
         return params, opt_state, (loss_s, cor_s, nv_s)
 
     if resident:

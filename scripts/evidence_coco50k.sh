@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Flagship-scale evidence run: the coco.sh FedCola line at the REAL
+# BASELINE.md workload size — 50,000 caption pairs over 10,000 unique
+# path-backed 224px jpegs (5 captions/image, learnable image<->caption
+# code), 25,000-caption / 5,000-image retrieval eval every round —
+# on one v5e chip.  Records: fixture generation + startup decode/
+# materialize + HBM staging MBs (in the log), per-round section timers,
+# and the full 5-fold + 5k retrieval eval time (BENCH_NOTES.md).
+#
+# Usage: scripts/evidence_coco50k.sh [R]   (default 10 rounds)
+set -e
+cd "$(dirname "$0")/.."
+R=${1:-10}
+OUT=/tmp/fedcola_evidence_coco50k
+
+echo "[evidence] generating 10k/5k 224px fixture (cached across runs)..."
+T0=$(date +%s)
+CROOT=$(python - <<'EOF'
+from fedcola_tpu.data.fixtures import coco_fixture
+print(coco_fixture("/tmp/fedcola_coco50k/10000_5000_224", 10000, 5000, 224))
+EOF
+)
+echo "[evidence] fixture ready at $CROOT ($(($(date +%s) - T0)) s)"
+
+IC=12 TC=12 MC=8
+T1=$(date +%s)
+python main.py --exp_name FedCola50k --algorithm fedavg \
+  --shared_param attn --share_scope modality --colearn_param none \
+  --compensation --with_aux --aux_trained \
+  --seed 1 --multi-task \
+  --datasets CIFAR100 AG_NEWS Coco Coco \
+  --modalities img txt img+txt img+txt \
+  --data_paths /tmp/missing_cifar /tmp/missing_agnews $CROOT $CROOT \
+  --Ks $IC $TC $MC --test_size -1 --split_type diri --cncntrtn 0.5 \
+  --model_name mome_small_patch16 --resize 224 --imnorm \
+  --eval_type global --eval_every 1 --eval_metrics acc1 \
+  --R $R --Cs 0.25 --E 5 --B 96 --beta1 0 \
+  --optimizer AdamW --lr 1e-4 --lr_decay 0.99 --lr_decay_step 1 \
+  --criterion CrossEntropyLoss --use_bert_tokenizer \
+  --equal_sampled --eval_batch_size 512 \
+  --result_path $OUT/result --log_path $OUT/log
+echo "[evidence] run finished in $(($(date +%s) - T1)) s total"
+echo "[evidence] results under $OUT/result; startup decode/staging lines in $OUT/log"

@@ -117,3 +117,51 @@ def test_fl_learns_synthetic_retrieval():
     r1 = ev["Coco 5k_r@1sum"]          # i2t + t2i R@1 on the full gallery
     # chance: 1/25 per direction -> r@1sum ~ 0.08
     assert r1 > 0.6, f"contrastive FL failed to learn retrieval (r@1sum={r1})"
+
+
+def test_perlayer_io_matches_stacked_exactly():
+    """perlayer_io (chunk-internal per-layer param representation) is pure
+    data movement: the trained params, moments, and per-step losses must
+    equal the stacked path bit-for-bit on CPU (same math, same order)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fedcola_tpu.models.mat import MATConfig, init_mat
+    from fedcola_tpu.parallel.client_update import (GroupSpec,
+                                                    build_group_update)
+    from fedcola_tpu.parallel.optim import OptimizerSpec, init_opt_state
+
+    base = dict(modalities=(None, "txt"), tasks=(None, "cls"),
+                num_classes=(None, 5), embed_dim=8, depth=3, num_heads=2,
+                vocab_size=30, max_text_len=6, img_size=32,
+                drop_path_rate=0.0, use_pallas=False,
+                compute_dtype="float32", with_aux=True, aux_trained=False)
+    spec = GroupSpec(modality="txt", criterion="CrossEntropyLoss")
+    ospec = OptimizerSpec(name="AdamW", weight_decay=0.01)
+    rng = np.random.RandomState(3)
+    n, S, B = 2, 4, 4
+    chunk = {
+        "x": rng.randint(0, 30, (n, S, B, 6)).astype(np.int32),
+        "y": rng.randint(0, 5, (n, S, B)).astype(np.int32),
+        "valid": np.ones((n, S, B), bool),
+        "step_valid": np.ones((n, S), bool),
+    }
+    outs = {}
+    for mode in (False, True):
+        cfg = MATConfig(perlayer_io=mode, **base)
+        params = init_mat(cfg, jax.random.PRNGKey(0))
+        stacked = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (n,) + x.shape) + 0, params)
+        ostate = init_opt_state(ospec, stacked, n)
+        update = build_group_update(cfg, spec, ospec, None)
+        rngs = jax.random.split(jax.random.PRNGKey(1), n)
+        p, st, (loss, _, _) = update(stacked, ostate, chunk, rngs,
+                                     jnp.float32(1e-3), params)
+        outs[mode] = (jax.tree_util.tree_map(np.asarray, p),
+                      jax.tree_util.tree_map(np.asarray, st),
+                      np.asarray(loss))
+    flat_a = jax.tree_util.tree_leaves(outs[False])
+    flat_b = jax.tree_util.tree_leaves(outs[True])
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(a, b)
