@@ -52,7 +52,8 @@ from fedcola_tpu.federation import aggregate as agg
 from fedcola_tpu.federation.server import FedAvgServer, _broadcast_stack
 from fedcola_tpu.models.mat import mat_apply
 from fedcola_tpu.ops.losses import cross_entropy
-from fedcola_tpu.parallel.client_update import (init_group_opt_states,
+from fedcola_tpu.parallel.client_update import (build_frozen_mask,
+                                                init_group_opt_states,
                                                 preprocess_images)
 from fedcola_tpu.parallel.optim import (OptimizerSpec, init_opt_state,
                                         opt_update)
@@ -196,9 +197,12 @@ class CreamflServer(FedAvgServer):
 
     # --------------------------------------------------- client pub phases --
 
-    def _build_pub_update(self, ds: str):
+    def _build_pub_update(self, ds: str, frozen_token=None):
         """Vmapped one-batch public contrastive step for the group of
-        dataset ``ds`` (creamflclient.py:131-237)."""
+        dataset ``ds`` (creamflclient.py:131-237).  ``frozen_token``: the
+        same freeze-window leaf paths as the task-epoch program — the
+        reference runs both phases through one model instance, so a
+        requires_grad=False param is excluded from BOTH graphs."""
         mcfg = self.model_cfgs[ds]
         spec = self._group_spec(ds)
         modality = spec.modality
@@ -269,8 +273,9 @@ class CreamflServer(FedAvgServer):
                  rng, lr):
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, old_params, batch, g_img, g_txt, rng)
-            params, opt_state = opt_update(pub_opt, params, grads, opt_state,
-                                           lr)
+            params, opt_state = opt_update(
+                pub_opt, params, grads, opt_state, lr,
+                frozen=build_frozen_mask(mcfg, params, frozen_token))
             return params, opt_state, loss
 
         vm = jax.vmap(step, in_axes=(0, 0, None, None, None, None, 0, None))
@@ -305,7 +310,8 @@ class CreamflServer(FedAvgServer):
         stacked = self._shard_clients(
             _broadcast_stack(self.global_params[ds], n_pad))
         opt_state = init_group_opt_states(self.opt_spec, stacked)
-        pub_fn = self._build_pub_update(ds)
+        pub_fn = self._build_pub_update(
+            ds, self._frozen_token(ds, self._group_spec(ds).modality))
         gp = self.global_params[ds]
         shards = [self.data.client_shards[i] for i in ids]
         # HBM-resident task data when eligible (pub phases interleave per
@@ -386,31 +392,46 @@ class CreamflServer(FedAvgServer):
     def _build_distill_step(self):
         """jitted KD step; built once per server (a fresh @jax.jit per
         round would retrace + recompile every round).  The reference
-        creates a fresh torch optimizer every round (creamflserver.py:300)
-        — zero-initialised moments each call of :meth:`_distill`
-        reproduce that."""
+        creates a fresh torch optimizer every round (creamflserver.py:303:
+        ``torch.optim.AdamW(params, lr=p_lr)`` — torch's **default
+        weight_decay 0.01** applies) — zero-initialised moments each call
+        of :meth:`_distill` reproduce that.
+
+        The distilled representation is the reference's literal
+        ``code_sim`` input: the mm forward WITHOUT feat_out runs the rtv
+        head over the full sequence (per-token L2 normalisation,
+        mome.py:651-659) and ``code_sim`` sums the 3D output over tokens
+        (creamflserver.py:314-318) before the MSE against the aggregated
+        client features."""
         cfg = self.cfg
         mcfg = self.model_cfgs[self.mm_dataset]
         spec = self._group_spec(self.mm_dataset)
         dtype = jnp.dtype(mcfg.compute_dtype)
-        opt = OptimizerSpec(name="AdamW", max_grad_norm=2.0)
+        opt = OptimizerSpec(name="AdamW", max_grad_norm=2.0,
+                            weight_decay=0.01)
 
         def loss_fn(params, batch, ti, tt, rng):
             x = preprocess_images(batch["img"], spec, dtype)
             outs = mat_apply(mcfg, params, [x, batch["txt"]],
-                             train=True, rng=rng)
+                             train=True, rng=rng, seq_feat_out=True)
+            out_i = jnp.sum(outs[0], axis=1)      # code_sim token sum
+            out_t = jnp.sum(outs[1], axis=1)
             v = batch["valid"][:, None].astype(jnp.float32)
             nv = jnp.maximum(jnp.sum(batch["valid"]), 1)
-            mse_i = jnp.sum(jnp.square(outs[0] - ti) * v) / (nv * ti.shape[-1])
-            mse_t = jnp.sum(jnp.square(outs[1] - tt) * v) / (nv * tt.shape[-1])
+            mse_i = jnp.sum(jnp.square(out_i - ti) * v) / (nv * ti.shape[-1])
+            mse_t = jnp.sum(jnp.square(out_t - tt) * v) / (nv * tt.shape[-1])
             return cfg.kd_weight * (mse_i + mse_t)
 
         @jax.jit
         def step(params, opt_state, batch, ti, tt, rng):
             loss, grads = jax.value_and_grad(loss_fn)(params, batch, ti, tt,
                                                       rng)
-            params, opt_state = opt_update(opt, params, grads, opt_state,
-                                           jnp.float32(cfg.p_lr))
+            # torch skips requires_grad=False params entirely (p.grad is
+            # None) — with weight decay live, frozen aux weights must not
+            # decay here either
+            params, opt_state = opt_update(
+                opt, params, grads, opt_state, jnp.float32(cfg.p_lr),
+                frozen=build_frozen_mask(mcfg, params))
             return params, opt_state, loss
 
         return opt, step

@@ -614,7 +614,7 @@ def _embed_text(cfg: MATConfig, emb: Params, ids: jnp.ndarray,
 def mat_apply(cfg: MATConfig, params: Params,
               inputs: Sequence[Optional[jnp.ndarray]],
               feat_out: bool = False, train: bool = False,
-              rng=None):
+              rng=None, seq_feat_out: bool = False):
     """Forward pass (reference mome.py:881-922).
 
     ``inputs`` is slot-aligned: image slots take [B, H, W, C] (NHWC,
@@ -622,7 +622,16 @@ def mat_apply(cfg: MATConfig, params: Params,
     slots take [B, L] int token ids, absent slots take None.  Returns a
     slot-aligned list: logits (cls head), normalised CLS features (rtv head
     or ``feat_out=True``), or None for absent slots.
-    """
+
+    ``seq_feat_out=True`` returns the rtv head's *literal* reference
+    output: the full sequence with every token L2-normalised
+    ([B, N, D] f32; RetrievalHead at mome.py:651-659 normalises
+    ``feats[i]`` — the whole ``norm`` output, not the CLS token).  The
+    only live consumer of that 3D form upstream is the CreamFL server
+    distillation, whose ``code_sim`` sums it over tokens
+    (creamflserver.py:314-318); everywhere else the reference either
+    passes ``feat_out=True`` or would crash on the 3D shape (see
+    PARITY.md, CreamFL notes)."""
     if train and rng is None:
         raise ValueError("training forward needs an rng")
     n_slots = len(cfg.modalities)
@@ -643,6 +652,11 @@ def mat_apply(cfg: MATConfig, params: Params,
         h = _run_stack(cfg, blk, h, train, rngs[2 * i + 1])
         h = _layer_norm(h, params["norm"]["scale"], params["norm"]["bias"], 1e-6)
 
+        if seq_feat_out:
+            hf = h.astype(jnp.float32)
+            norm = jnp.linalg.norm(hf, axis=-1, keepdims=True)
+            outs[i] = hf / jnp.maximum(norm, 1e-12)
+            continue
         cls_tok = h[:, 0].astype(jnp.float32)
         if feat_out or cfg.tasks[i] == "rtv":
             norm = jnp.linalg.norm(cls_tok, axis=-1, keepdims=True)

@@ -256,6 +256,37 @@ def _local_loss(cfg: MATConfig, spec: GroupSpec, params, batch,
     return loss, (correct, n_valid)
 
 
+def build_frozen_mask(cfg: MATConfig, params,
+                      frozen_token: Optional[Tuple[Tuple[str, ...], ...]]
+                      = None):
+    """Static ``requires_grad=False`` mask pytree for ``params`` (python
+    bools, same structure), or None when nothing is frozen.
+
+    ``frozen_token``: extra frozen leaf paths (the freeze-window feature).
+    aux_trained=False always freezes the aux weights while keeping the
+    cross_modal_scale trainable (reference mome.py:47-53: the
+    CrossModalReparamLinear calls aux_weight.requires_grad_(False); wired
+    via build_aux at mome.py:786).  Shared by the task-epoch program and
+    the CreamFL public/distill steps — the reference runs every phase
+    through the same model instance, so one requires_grad state governs
+    all of them (creamflclient.py:83, creamflserver.py:303)."""
+    frozen_set = set(frozen_token or ())
+    if cfg.has_aux and not cfg.aux_trained:
+        for kind in cfg.aux_layer_kinds:
+            frozen_set.add(("aux", f"{kind}_aux"))
+    if not frozen_set:
+        return None
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        if isinstance(node, tuple):      # perlayer_io layer tuples
+            return tuple(walk(v, path) for v in node)
+        return path in frozen_set
+
+    return walk(params, ())
+
+
 @functools.lru_cache(maxsize=32)
 def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
                        frozen_token: Optional[Tuple[Tuple[str, ...], ...]] = None,
@@ -272,25 +303,7 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
     host->device traffic becomes indices instead of pixels."""
 
     def make_frozen_mask(params):
-        frozen_set = set(frozen_token or ())
-        # aux_trained=False freezes the aux weights while keeping the
-        # cross_modal_scale trainable (reference mome.py:47-53: the
-        # CrossModalReparamLinear calls aux_weight.requires_grad_(False);
-        # wired via build_aux at mome.py:786)
-        if cfg.has_aux and not cfg.aux_trained:
-            for kind in cfg.aux_layer_kinds:
-                frozen_set.add(("aux", f"{kind}_aux"))
-        if not frozen_set:
-            return None
-
-        def walk(node, path):
-            if isinstance(node, dict):
-                return {k: walk(v, path + (k,)) for k, v in node.items()}
-            if isinstance(node, tuple):      # perlayer_io layer tuples
-                return tuple(walk(v, path) for v in node)
-            return path in frozen_set
-
-        return walk(params, ())
+        return build_frozen_mask(cfg, params, frozen_token)
 
     def gather_batch(step, data, aug_rng=None):
         """Device-side row gather for the resident plane (step carries
