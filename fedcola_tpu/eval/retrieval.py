@@ -21,6 +21,7 @@ Pipeline parity:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -42,7 +43,17 @@ def extract_features(cfg: MATConfig, spec: GroupSpec, params,
     every feature-extraction batch shards over the whole device mesh (the
     reference runs this single-device; SURVEY.md §2.8 P3).  ``resident``:
     HBM-staged dataset arrays — batches become on-device index gathers
-    instead of host pixel transfers."""
+    instead of host pixel transfers.
+
+    Feature arrays come back as DEVICE arrays on the resident
+    single-process path (features feed the jitted rank computations next
+    — shipping them host and back is pure wire time) and as numpy
+    otherwise; both duck-type for every downstream consumer."""
+    if resident is not None and (mesh_plan is None
+                                 or not mesh_plan.is_multiprocess):
+        return _extract_features_resident(cfg, spec, params, dataset,
+                                          batch_size, rng, mesh_plan,
+                                          resident)
     fwd = build_eval_forward(cfg, spec, resident=resident is not None)
     n = dataset.n
     if mesh_plan is not None:
@@ -116,6 +127,66 @@ def extract_features(cfg: MATConfig, spec: GroupSpec, params,
     caption_features = caption_features[sorted_idx]
     caption_classes = caption_classes[sorted_idx]
     return image_features, caption_features, image_classes, caption_classes
+
+
+def _extract_features_resident(cfg: MATConfig, spec: GroupSpec, params,
+                               dataset: TaskDataset, batch_size: int,
+                               rng, mesh_plan, resident):
+    """Device-resident extraction: K batches per jitted call
+    (``build_eval_forward_chunked``) and features kept ON DEVICE
+    end-to-end.  Dedup/alignment need only the host-known image ids, so
+    they become index computations applied as device gathers — the only
+    host<->device traffic of the whole retrieval eval is then the index
+    chunks in and the per-query best-rank vectors out (kilobytes), vs
+    ~120 MB of feature readback + re-upload at the COCO 25k/5k shape on
+    the host-roundtrip path.  Chunk depth: FEDCOLA_EVAL_CHUNK_STEPS
+    (default 8)."""
+    from fedcola_tpu.parallel.client_update import build_eval_forward_chunked
+    K = int(os.environ.get("FEDCOLA_EVAL_CHUNK_STEPS", "8"))
+    fwd = build_eval_forward_chunked(cfg, spec)
+    n = dataset.n
+    if mesh_plan is not None:
+        batch_size = mesh_plan.pad_eval_batch(batch_size)
+        params = mesh_plan.replicate(params)
+    order = np.arange(n)
+    if rng is not None:
+        rng.shuffle(order)
+
+    n_chunks = -(-n // (K * batch_size))
+    padded = np.full((n_chunks * K * batch_size,), order[0], np.int32)
+    padded[:n] = order
+    fis, fts = [], []
+    for c in range(n_chunks):
+        idxs = padded[c * K * batch_size:(c + 1) * K * batch_size] \
+            .reshape(K, batch_size)
+        if mesh_plan is not None:
+            idxs = mesh_plan.shard_eval_chunk(idxs)
+        fi, ft = fwd(params, idxs, resident)            # [K, B, D] each
+        fis.append(fi.reshape(-1, fi.shape[-1]))
+        fts.append(ft.reshape(-1, ft.shape[-1]))
+    fi_all = jnp.concatenate(fis)[:n] if len(fis) > 1 else fis[0][:n]
+    ft_all = jnp.concatenate(fts)[:n] if len(fts) > 1 else fts[0][:n]
+
+    # dedup + caption alignment from image ids alone (same semantics as
+    # the host path below: first-seen image order, stable caption sort
+    # behind the image's first-seen position)
+    ids = np.asarray(dataset.image_ids)[order]
+    first_pos: Dict[int, int] = {}
+    img_rows = []
+    image_classes = []
+    for j, iid in enumerate(ids.tolist()):
+        if iid not in first_pos:
+            first_pos[iid] = len(img_rows)
+            img_rows.append(j)
+            image_classes.append(iid)
+    keys = np.fromiter((first_pos[i] for i in ids.tolist()), np.int64, n)
+    sorted_idx = np.argsort(keys, kind="stable")
+    image_features = jnp.take(
+        fi_all, jnp.asarray(np.asarray(img_rows, np.int32)), axis=0)
+    caption_features = jnp.take(
+        ft_all, jnp.asarray(sorted_idx.astype(np.int32)), axis=0)
+    return (image_features, caption_features,
+            np.asarray(image_classes), ids[sorted_idx])
 
 
 @jax.jit

@@ -384,6 +384,31 @@ def init_group_opt_states(opt: OptimizerSpec, stacked_params):
 # ----------------------------------------------------------------- eval ----
 
 @functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=32)
+def build_eval_forward_chunked(cfg: MATConfig, spec: GroupSpec):
+    """Resident-plane mm feature extraction over a [K, B] index chunk in
+    ONE jitted call (``lax.scan`` over the K batches), returning
+    ``(img_feats [K, B, D], txt_feats [K, B, D])``.
+
+    Per-call dispatch can dominate eval wall time when the device hangs
+    off a network relay (BENCH_NOTES "measurement methodology"); chaining
+    K batches per call divides that overhead by K with identical math.
+    img+txt groups only — uni-modal eval keeps ``build_eval_forward``."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    def fwd(params, idxs, data):
+        def body(_, i):
+            batch = resident_gather(spec, data, i)
+            ins, _ = _route_inputs(cfg, spec, batch, dtype)
+            outs = mat_apply(cfg, params, ins, feat_out=True)
+            return None, (outs[spec.img_slot], outs[spec.txt_slot])
+
+        _, (fi, ft) = jax.lax.scan(body, None, idxs)
+        return fi, ft
+
+    return jax.jit(fwd)
+
+
 def build_eval_forward(cfg: MATConfig, spec: GroupSpec,
                        resident: bool = False):
     """Jitted inference forward for central/local evaluation.

@@ -186,6 +186,17 @@ class MeshPlan:
         return {k: jax.device_put(v, flat if v.shape[0] % n == 0 else rep)
                 for k, v in batch.items()}
 
+    def shard_eval_chunk(self, idxs):
+        """[K, B] eval index chunk for the chunked extraction program:
+        B (dim 1) shards over the flattened mesh, K stays whole (each
+        scan step is one mesh-wide batch)."""
+        if self.mesh is None:
+            return idxs
+        sh = NamedSharding(self.mesh, P(None, self.mesh.axis_names)) \
+            if idxs.shape[1] % self.n_devices == 0 \
+            else NamedSharding(self.mesh, P())
+        return jax.device_put(idxs, sh)
+
     def replicate(self, tree):
         if self.mesh is None:
             return tree

@@ -124,3 +124,44 @@ def test_n_fold_at_true_coco_scale_matches_fixed_slices():
     assert 0.3 < t2i["recall_1"] <= 1.0
     # n-fold galleries are 5x smaller -> recall can only improve
     assert got["i2t"]["recall_1"] >= i2t["recall_1"]
+
+
+def test_chunked_resident_extraction_matches_host_path(monkeypatch):
+    """The device-resident chunked extraction (one jitted lax.scan call
+    per K batches, features kept on device, id-only dedup/alignment)
+    must produce the same features and ordering as the per-batch
+    host-roundtrip path — including at a size that pads both the last
+    batch and the last chunk."""
+    import jax.numpy as jnp
+
+    from fedcola_tpu.data.datasets import fetch_synthetic
+    from fedcola_tpu.eval.retrieval import extract_features
+    from fedcola_tpu.models.mat import MATConfig, init_mat
+    from fedcola_tpu.parallel.client_update import GroupSpec
+    import jax
+
+    monkeypatch.setenv("FEDCOLA_EVAL_CHUNK_STEPS", "2")
+    cfg = MATConfig(modalities=("img", "txt"), tasks=("rtv", "rtv"),
+                    num_classes=(None, None), embed_dim=8, depth=1,
+                    num_heads=2, vocab_size=40, max_text_len=6,
+                    img_size=16, patch_size=8, drop_path_rate=0.0,
+                    use_pallas=False, compute_dtype="float32")
+    params = init_mat(cfg, jax.random.PRNGKey(0))
+    spec = GroupSpec(modality="img+txt", criterion="ContrastiveLoss")
+    ds = fetch_synthetic("Coco", "img+txt", "rtv", 50, None, img_hw=16,
+                         seq_len=6, vocab_size=40, seed=5)
+    data = {"img": jnp.asarray(ds.load_images(np.arange(ds.n))),
+            "txt": jnp.asarray(ds.texts)}
+
+    # batch 16, K=2 -> 32 rows/call, 50 rows -> 2 chunks with padding
+    ri, rc, ric, rcc = extract_features(cfg, spec, params, ds,
+                                        batch_size=16,
+                                        rng=np.random.RandomState(7),
+                                        resident=data)
+    hi, hc, hic, hcc = extract_features(cfg, spec, params, ds,
+                                        batch_size=16,
+                                        rng=np.random.RandomState(7))
+    np.testing.assert_array_equal(np.asarray(ric), hic)
+    np.testing.assert_array_equal(np.asarray(rcc), hcc)
+    np.testing.assert_allclose(np.asarray(ri), hi, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rc), hc, rtol=1e-5, atol=1e-6)
