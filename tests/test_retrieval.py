@@ -126,7 +126,8 @@ def test_n_fold_at_true_coco_scale_matches_fixed_slices():
     assert got["i2t"]["recall_1"] >= i2t["recall_1"]
 
 
-def test_chunked_resident_extraction_matches_host_path(monkeypatch):
+@pytest.mark.parametrize("k", [1, 2])
+def test_chunked_resident_extraction_matches_host_path(monkeypatch, k):
     """The device-resident chunked extraction (one jitted lax.scan call
     per K batches, features kept on device, id-only dedup/alignment)
     must produce the same features and ordering as the per-batch
@@ -140,7 +141,7 @@ def test_chunked_resident_extraction_matches_host_path(monkeypatch):
     from fedcola_tpu.parallel.client_update import GroupSpec
     import jax
 
-    monkeypatch.setenv("FEDCOLA_EVAL_CHUNK_STEPS", "2")
+    monkeypatch.setenv("FEDCOLA_EVAL_CHUNK_STEPS", str(k))
     cfg = MATConfig(modalities=("img", "txt"), tasks=("rtv", "rtv"),
                     num_classes=(None, None), embed_dim=8, depth=1,
                     num_heads=2, vocab_size=40, max_text_len=6,
