@@ -50,6 +50,11 @@ def main():
     state["t"] = jnp.zeros((), jnp.int32)
     grads = jax.tree_util.tree_map(lambda x: x * 1e-3, stacked)
 
+    # Each jit returns ONE device-reduced scalar touching every carry
+    # leaf: reading back a large array over the axon tunnel (~35 MB/s)
+    # would swamp the clock (the first probe version read the whole
+    # 437 MB flat buffer and measured the wire, not the kernel), and a
+    # scalar that ignored leaves would let scan DCE their updates.
     @jax.jit
     def run_tree(p, st, g):
         def body(carry, _):
@@ -57,7 +62,8 @@ def main():
             p, st = opt_update(spec, p, g, st, jnp.float32(1e-4))
             return (p, st), ()
         (p, st), _ = jax.lax.scan(body, (p, st), None, length=STEPS)
-        return p, st
+        return sum(jnp.sum(l) for l in jax.tree_util.tree_leaves((p, st))
+                   if jnp.issubdtype(l.dtype, jnp.floating))
 
     # ---------------------------------------------------- flat variant --
     flat = jnp.concatenate([l.reshape(-1) for l in
@@ -78,16 +84,16 @@ def main():
             p = p - 1e-4 * mh / (jnp.sqrt(vh) + 1e-8)
             return (p, m, v), ()
         (p, m, v), _ = jax.lax.scan(body, (p, m, v), jnp.arange(STEPS))
-        return p, m, v
+        return jnp.sum(p) + jnp.sum(m) + jnp.sum(v)
 
     def clock(fn, *args):
         out = fn(*args)                       # compile
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+        float(np.asarray(out))
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
             out = fn(*args)
-            np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+            float(np.asarray(out))
             best = min(best, time.perf_counter() - t0)
         return best / STEPS
 
