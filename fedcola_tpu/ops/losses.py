@@ -191,20 +191,40 @@ def mc_soft_contrastive(img_emb: jnp.ndarray, txt_emb: jnp.ndarray,
     return 2.0 * jnp.sum(nll)  # i2t + t2i directions
 
 
-def fedprox_term(params, global_params, mu: float) -> jnp.ndarray:
-    """mu * 0.5 * sum of per-tensor L2 *norms* (NOT squared norms):
-    ``prox += (param - global).norm(2)`` per named parameter, then
-    ``loss += mu * (0.5 * prox)`` (reference fedproxclient.py:64-67 — the
-    fork diverges from the FedProx paper's squared norm here; parity
-    follows the code).  torch's norm backward returns 0 at zero distance
-    (the first local step, where w == w_g); the where-guard reproduces
-    that subgradient choice instead of NaN."""
-    leaves = jax.tree_util.tree_leaves(params)
-    gleaves = jax.tree_util.tree_leaves(global_params)
-    acc = jnp.float32(0.0)
-    for w, g in zip(leaves, gleaves):
-        d = w.astype(jnp.float32) - g.astype(jnp.float32)
+def _norm_sum(w, g, per_layer: bool) -> jnp.ndarray:
+    """Sum of L2 norms of (w - g); with ``per_layer`` the leading axis is
+    the layer stack and each layer slice is one norm.  torch's norm
+    backward returns 0 at zero distance (the first local step, where
+    w == w_g); the where-guard reproduces that subgradient choice
+    instead of NaN."""
+    d = w.astype(jnp.float32) - g.astype(jnp.float32)
+    if per_layer:
+        sq = jnp.sum(jnp.reshape(d, (d.shape[0], -1)) ** 2, axis=1)
+    else:
         sq = jnp.sum(d * d)
-        norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
-        acc = acc + jnp.where(sq > 0, norm, 0.0)
-    return mu * 0.5 * acc
+    norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+    return jnp.sum(jnp.where(sq > 0, norm, 0.0))
+
+
+def fedprox_term(params, global_params, mu: float) -> jnp.ndarray:
+    """mu * 0.5 * sum of per-NAMED-PARAMETER L2 *norms* (NOT squared
+    norms): ``prox += (param - global).norm(2)`` per named parameter,
+    then ``loss += mu * (0.5 * prox)`` (reference fedproxclient.py:64-67
+    — the fork diverges from the FedProx paper's squared norm here;
+    parity follows the code).
+
+    A torch named parameter = one layer's tensor, so the depth-stacked
+    ``blk``/``aux`` leaves contribute one norm PER LAYER SLICE, not one
+    norm of the whole stack (sum of per-layer norms != norm of the
+    stack).  The same leaves arrive as per-layer tuples under
+    ``perlayer_io`` — both representations produce identical numerics.
+    Tied colearn attn leaves are dropped from the non-main slot at init,
+    matching torch named_parameters' shared-Parameter dedup."""
+    def walk(p, g, per_layer):
+        if isinstance(p, dict):
+            return sum(walk(p[k], g[k], per_layer or k in ("blk", "aux"))
+                       for k in sorted(p))
+        if isinstance(p, tuple):          # perlayer_io layer tuples
+            return sum(_norm_sum(pl, gl, False) for pl, gl in zip(p, g))
+        return _norm_sum(p, g, per_layer)
+    return mu * 0.5 * walk(params, global_params, False)

@@ -233,3 +233,56 @@ def test_bf16_moment_storage_tracks_f32_updates():
     assert s_bf["v"]["w"].dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(p_bf["w"]), np.asarray(p_ref["w"]),
                                rtol=0, atol=2e-4)
+
+
+def test_fedprox_term_per_layer_and_representation_invariant():
+    """The proximal term sums one L2 norm PER torch named parameter —
+    i.e. per layer slice of the depth-stacked blk/aux leaves
+    (fedproxclient.py:64-67), not one norm of the whole stack — and is
+    identical whether the blk leaves arrive stacked or as perlayer_io
+    tuples."""
+    rng = np.random.RandomState(0)
+    depth = 3
+    stacked = {
+        "emb": {"0": {"w": jnp.asarray(rng.randn(4, 5), jnp.float32)}},
+        "blk": {"0": {"k": jnp.asarray(rng.randn(depth, 2, 3), jnp.float32),
+                      "b": jnp.asarray(rng.randn(depth, 3), jnp.float32)}},
+        "aux": {"k_aux": jnp.asarray(rng.randn(depth, 2, 3), jnp.float32),
+                "k_scale": jnp.asarray(rng.randn(depth), jnp.float32)},
+        "norm": {"scale": jnp.asarray(rng.randn(6), jnp.float32)},
+    }
+    gparams = jax.tree_util.tree_map(
+        lambda x: x + jnp.asarray(rng.randn(*x.shape), jnp.float32) * 0.1,
+        stacked)
+
+    def norm(d):
+        return float(np.sqrt(np.sum(np.asarray(d, np.float64) ** 2)))
+
+    expect = norm(stacked["emb"]["0"]["w"] - gparams["emb"]["0"]["w"]) \
+        + norm(stacked["norm"]["scale"] - gparams["norm"]["scale"])
+    for l in range(depth):
+        for key in ("k", "b"):
+            expect += norm(stacked["blk"]["0"][key][l]
+                           - gparams["blk"]["0"][key][l])
+        for key in ("k_aux", "k_scale"):
+            expect += norm(stacked["aux"][key][l] - gparams["aux"][key][l])
+    expect *= 0.05 * 0.5
+
+    got = float(losses.fedprox_term(stacked, gparams, 0.05))
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+    def to_perlayer(t):
+        out = dict(t)
+        out["blk"] = {s: {k: tuple(v[l] for l in range(depth))
+                          for k, v in slot.items()}
+                      for s, slot in t["blk"].items()}
+        out["aux"] = {k: tuple(v[l] for l in range(depth))
+                      for k, v in t["aux"].items()}
+        return out
+
+    got_pl = float(losses.fedprox_term(to_perlayer(stacked),
+                                       to_perlayer(gparams), 0.05))
+    np.testing.assert_allclose(got_pl, got, rtol=1e-7)
+
+    # zero distance contributes exactly 0 (torch's norm-at-0 subgradient)
+    assert float(losses.fedprox_term(stacked, stacked, 0.05)) == 0.0

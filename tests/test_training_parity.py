@@ -503,13 +503,16 @@ def test_mm_clip_training_matches_torch():
 
 
 def test_fedprox_training_matches_torch():
-    """FedProx proximal term: mu * 0.5 * sum of per-tensor L2 norms
-    (fedproxclient.py:64-67 — NOT the paper's squared norm)."""
+    """FedProx proximal term: mu * 0.5 * sum of PER-NAMED-PARAMETER L2
+    norms (fedproxclient.py:64-67 — NOT the paper's squared norm).
+    depth=3 so the depth-stacked leaves must contribute one norm per
+    layer slice — a whole-stack norm (sqrt of the summed squares across
+    layers) passes at depth=1 but diverges here from step 2 on."""
     mu = 0.05
     cfg = _make_cfg(modalities=(None, "txt"), tasks=(None, "cls"),
-                    num_classes=(None, NC), depth=1)
+                    num_classes=(None, NC), depth=3)
     params = init_mat(cfg, jax.random.PRNGKey(7))
-    twin = TorchTwinMAT(cfg.modalities, cfg.tasks, depth=1)
+    twin = TorchTwinMAT(cfg.modalities, cfg.tasks, depth=3)
     _copy_from_jax(twin, cfg, params)
 
     rng = np.random.RandomState(17)
