@@ -310,8 +310,7 @@ class CreamflServer(FedAvgServer):
         stacked = self._shard_clients(
             _broadcast_stack(self.global_params[ds], n_pad))
         opt_state = init_group_opt_states(self.opt_spec, stacked)
-        pub_fn = self._build_pub_update(
-            ds, self._frozen_token(ds, self._group_spec(ds).modality))
+        pub_fn = self._build_pub_update(ds, self._frozen_token(ds))
         gp = self.global_params[ds]
         shards = [self.data.client_shards[i] for i in ids]
         # HBM-resident task data when eligible (pub phases interleave per
@@ -325,7 +324,7 @@ class CreamflServer(FedAvgServer):
                              rng=self.shuffle_rng,
                              debug_two_batches=cfg.debug, aug=aug)
         update_fn = build_group_update(mcfg, spec, self.opt_spec,
-                                       self._frozen_token(ds, spec.modality),
+                                       self._frozen_token(ds),
                                        resident=data_dev is not None)
         do_pub = cfg.interintra_weight > 0 and not (
             cfg.no_mm_contrastive and spec.modality == "img+txt")

@@ -208,12 +208,19 @@ class FedAvgServer:
                          aug_resize=self.cfg.resize if cc else None,
                          center_crop=cc)
 
-    def _frozen_token(self, ds: str, modality: str):
+    def _frozen_token(self, ds: str):
         """Freeze-window mask (fedavgserver.py:422-429, 493-498): scope-'all'
         params of ``freeze_modality`` clients are frozen for rounds in
-        (warmup, warmup+freeze]."""
+        (warmup, warmup+freeze].  The reference compares ``client.modality``
+        — the per-dataset --modalities FLAG (ct/mic/pat/der for MedMNIST,
+        identical to the task modality everywhere else), the same value
+        warmup sampling filters on (sampling.py:65-66)."""
         c = self.cfg
-        if c.freeze_modality == "none" or modality != c.freeze_modality:
+        if c.freeze_modality == "none":
+            return None
+        flag = next((m for i, m in enumerate(self.client_modality_of)
+                     if self.client_dataset_of[i] == ds), None)
+        if flag != c.freeze_modality:
             return None
         in_window = (self.round <= c.freeze_rounds + c.warmup_rounds
                      and self.round > c.warmup_rounds)
@@ -396,7 +403,7 @@ class FedAvgServer:
         stacked = self._shard_clients(
             _broadcast_stack(self.global_params[ds], n_pad))
         opt_state = init_group_opt_states(self.opt_spec, stacked)
-        frozen = self._frozen_token(ds, spec.modality)
+        frozen = self._frozen_token(ds)
 
         shards = [self.data.client_shards[i] for i in ids]
         spec, aug, data_dev = self._group_aug_plan(ds, spec)
