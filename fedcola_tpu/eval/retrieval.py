@@ -63,11 +63,8 @@ def extract_features(cfg: MATConfig, spec: GroupSpec, params,
     if rng is not None:
         rng.shuffle(order)
 
-    cap_feats = []
-    img_ids_seen: Dict[int, int] = {}
-    image_feature_rows = []
-    image_classes = []
-    caption_classes = []
+    fi_parts = []
+    ft_parts = []
 
     # keep several batches in flight before reading back: jax dispatch is
     # async, so the device pipelines while the host queues/gathers — a
@@ -76,19 +73,13 @@ def extract_features(cfg: MATConfig, spec: GroupSpec, params,
     # buffers in HBM at once (the window bounds that)
     def drain_one(fi, ft, idx):
         if mesh_plan is not None:
-            fi = mesh_plan.to_host(fi)[:len(idx)].astype(np.float32)
-            ft = mesh_plan.to_host(ft)[:len(idx)].astype(np.float32)
+            fi_parts.append(mesh_plan.to_host(fi)[:len(idx)]
+                            .astype(np.float32))
+            ft_parts.append(mesh_plan.to_host(ft)[:len(idx)]
+                            .astype(np.float32))
         else:
-            fi = np.asarray(fi[:len(idx)], np.float32)
-            ft = np.asarray(ft[:len(idx)], np.float32)
-        for j, i in enumerate(idx):
-            image_id = int(dataset.image_ids[i])
-            if image_id not in img_ids_seen:
-                img_ids_seen[image_id] = len(image_feature_rows)
-                image_feature_rows.append(fi[j])
-                image_classes.append(image_id)
-            cap_feats.append(ft[j])
-            caption_classes.append(image_id)
+            fi_parts.append(np.asarray(fi[:len(idx)], np.float32))
+            ft_parts.append(np.asarray(ft[:len(idx)], np.float32))
 
     window = DispatchWindow(drain_one)
     from fedcola_tpu.utils.dispatch import pad_batch_indices
@@ -109,24 +100,40 @@ def extract_features(cfg: MATConfig, spec: GroupSpec, params,
         window.push(fi, ft, idx)
     window.flush()
 
-    image_features = np.stack(image_feature_rows)
-    caption_features = np.stack(cap_feats)
-    image_classes = np.asarray(image_classes)
-    caption_classes = np.asarray(caption_classes)
+    fi_all = np.concatenate(fi_parts)
+    ft_all = np.concatenate(ft_parts)
+    ids = np.asarray(dataset.image_ids)[order]
+    img_rows, image_classes, sorted_idx = _dedup_align(ids)
+    return (fi_all[img_rows], ft_all[sorted_idx],
+            image_classes, ids[sorted_idx])
 
-    # caption alignment: group captions behind their image's position
-    # (eval_coco.py:210-221).  A stable argsort on the image's first-seen
-    # position reproduces the reference's per-image where() scan exactly
-    # (same group order, original order within a group) in O(n log n)
-    # instead of O(n_img * n_cap) — at 5k x 25k that loop was 125M
-    # comparisons per central eval, every round at --eval_every 1.
-    # img_ids_seen already maps image_id -> first-seen row position
-    keys = np.fromiter((img_ids_seen[c] for c in caption_classes.tolist()),
-                       np.int64, len(caption_classes))
+
+def _dedup_align(ids: np.ndarray):
+    """First-seen image dedup + caption alignment from the extraction-order
+    image-id vector (one entry per caption row).
+
+    Dedup keeps each image's FIRST row (eval_coco.py:205-209); alignment
+    groups captions behind their image's first-seen position
+    (eval_coco.py:210-221).  A stable argsort on that position reproduces
+    the reference's per-image where() scan exactly (same group order,
+    original order within a group) in O(n log n) instead of
+    O(n_img * n_cap) — at 5k x 25k that loop was 125M comparisons per
+    central eval, every round at --eval_every 1.  Returns ``(img_rows,
+    image_classes, sorted_idx)``; shared by the host-roundtrip and
+    device-resident extraction paths so their semantics cannot diverge."""
+    first_pos: Dict[int, int] = {}
+    img_rows = []
+    image_classes = []
+    for j, iid in enumerate(ids.tolist()):
+        if iid not in first_pos:
+            first_pos[iid] = len(img_rows)
+            img_rows.append(j)
+            image_classes.append(iid)
+    keys = np.fromiter((first_pos[i] for i in ids.tolist()), np.int64,
+                       len(ids))
     sorted_idx = np.argsort(keys, kind="stable")
-    caption_features = caption_features[sorted_idx]
-    caption_classes = caption_classes[sorted_idx]
-    return image_features, caption_features, image_classes, caption_classes
+    return (np.asarray(img_rows, np.int64), np.asarray(image_classes),
+            sorted_idx)
 
 
 def _extract_features_resident(cfg: MATConfig, spec: GroupSpec, params,
@@ -167,26 +174,17 @@ def _extract_features_resident(cfg: MATConfig, spec: GroupSpec, params,
     fi_all = jnp.concatenate(fis)[:n] if len(fis) > 1 else fis[0][:n]
     ft_all = jnp.concatenate(fts)[:n] if len(fts) > 1 else fts[0][:n]
 
-    # dedup + caption alignment from image ids alone (same semantics as
-    # the host path below: first-seen image order, stable caption sort
-    # behind the image's first-seen position)
+    # dedup + caption alignment from image ids alone (host-side index
+    # computation shared with the host-roundtrip path, applied here as
+    # device gathers so the features never leave HBM)
     ids = np.asarray(dataset.image_ids)[order]
-    first_pos: Dict[int, int] = {}
-    img_rows = []
-    image_classes = []
-    for j, iid in enumerate(ids.tolist()):
-        if iid not in first_pos:
-            first_pos[iid] = len(img_rows)
-            img_rows.append(j)
-            image_classes.append(iid)
-    keys = np.fromiter((first_pos[i] for i in ids.tolist()), np.int64, n)
-    sorted_idx = np.argsort(keys, kind="stable")
+    img_rows, image_classes, sorted_idx = _dedup_align(ids)
     image_features = jnp.take(
-        fi_all, jnp.asarray(np.asarray(img_rows, np.int32)), axis=0)
+        fi_all, jnp.asarray(img_rows.astype(np.int32)), axis=0)
     caption_features = jnp.take(
         ft_all, jnp.asarray(sorted_idx.astype(np.int32)), axis=0)
-    return (image_features, caption_features,
-            np.asarray(image_classes), ids[sorted_idx])
+    return (image_features, caption_features, image_classes,
+            ids[sorted_idx])
 
 
 @jax.jit

@@ -384,7 +384,6 @@ def init_group_opt_states(opt: OptimizerSpec, stacked_params):
 # ----------------------------------------------------------------- eval ----
 
 @functools.lru_cache(maxsize=32)
-@functools.lru_cache(maxsize=32)
 def build_eval_forward_chunked(cfg: MATConfig, spec: GroupSpec):
     """Resident-plane mm feature extraction over a [K, B] index chunk in
     ONE jitted call (``lax.scan`` over the K batches), returning
@@ -409,6 +408,7 @@ def build_eval_forward_chunked(cfg: MATConfig, spec: GroupSpec):
     return jax.jit(fwd)
 
 
+@functools.lru_cache(maxsize=32)
 def build_eval_forward(cfg: MATConfig, spec: GroupSpec,
                        resident: bool = False):
     """Jitted inference forward for central/local evaluation.
