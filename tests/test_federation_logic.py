@@ -209,3 +209,45 @@ def test_dist_flags_must_be_set_together():
         check_args(ExperimentConfig(
             exp_name="d", datasets=["MedicalAbstracts", "MedicalAbstracts"],
             modalities=["txt"], dist_coordinator="10.0.0.1:1234"))
+
+
+def test_freeze_window_keys_on_modality_flag(tmp_path):
+    """The freeze window compares client.modality — the per-dataset
+    --modalities FLAG (ct/mic/pat/der for MedMNIST), not the task
+    modality — against --freeze_modality (fedavgserver.py:493-498).
+    A MedMNIST 'ct' population must freeze under --freeze_modality ct
+    and must NOT freeze under --freeze_modality img (the task modality
+    its loader actually produces)."""
+    from fedcola_tpu.data.loaders import load_federated_data
+    from fedcola_tpu.federation.server import create_server
+    rng0 = np.random.RandomState(0)
+    np.savez(tmp_path / "organcmnist.npz",
+             train_images=rng0.randint(0, 255, (40, 28, 28), np.uint8),
+             train_labels=rng0.randint(0, 11, (40, 1)),
+             test_images=rng0.randint(0, 255, (10, 28, 28), np.uint8),
+             test_labels=rng0.randint(0, 11, (10, 1)))
+
+    def server_for(freeze_modality):
+        cfg = check_args(ExperimentConfig(
+            exp_name="fz", multi_task=True,
+            datasets=["MedMNIST", "MedMNIST"], modalities=["ct", "ct"],
+            Ks=[2], data_path=str(tmp_path), test_size=-1,
+            split_type="iid", reduce_samples=-1, synthetic_data=False,
+            model_name="mome_test_patch16_32", use_pallas=False,
+            compute_dtype="float32", shared_param="attn",
+            share_scope="all", freeze_modality=freeze_modality,
+            freeze_rounds=2, warmup_rounds=0))
+        data = load_federated_data(cfg, np.random.RandomState(cfg.seed))
+        srv = create_server(cfg, data)
+        srv.round = 1  # inside (warmup, warmup+freeze]
+        return srv
+
+    srv = server_for("ct")
+    token = srv._frozen_token("MedMNIST")
+    assert token, "ct flag population must freeze under --freeze_modality ct"
+    srv.round = 3  # past the window
+    assert srv._frozen_token("MedMNIST") is None
+
+    srv = server_for("img")
+    assert srv._frozen_token("MedMNIST") is None, (
+        "task modality must not match: the reference compares the flag")
