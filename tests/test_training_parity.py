@@ -654,3 +654,89 @@ def test_with_aux_training_fold_and_exchange_match_torch():
             np.testing.assert_allclose(
                 np.asarray(exchanged["IMGDS"]["aux"][f"{kind}_aux"][l]),
                 folded, rtol=5e-4, atol=5e-5, err_msg=f"xchg {kind}@{l}")
+
+
+def test_two_round_federation_matches_torch():
+    """Capstone seam test: 2 clients with UNEQUAL sizes x 2 federated
+    rounds — the vmapped multi-client group update, the plan/apply
+    aggregation streaming EMA, the re-download, and the second round all
+    composed — vs two torch twins trained per the reference client loop
+    (fresh AdamW per round, fedavgclient.py:76-100) and the reference's
+    literal accumulation recurrence ``final += (local - final) * c_i``
+    with c_i = n_i/Σn (fedavgserver.py:655-665).  That recurrence is NOT
+    a plain weighted average: it keeps a Π(1-c_i) residual of the old
+    global and weights client i by c_i·Π_{j>i}(1-c_j) — a plain-average
+    torch twin diverges by ~6e-4 after one round.  The per-path
+    trajectory tests above prove each leg; this proves the composition
+    including that residual semantics."""
+    from fedcola_tpu.federation import aggregate as agg
+    from fedcola_tpu.models import naming
+
+    cfg = _make_cfg(modalities=(None, "txt"), tasks=(None, "cls"),
+                    num_classes=(None, NC), depth=2)
+    g0 = init_mat(cfg, jax.random.PRNGKey(31))
+    sizes = {0: 96, 1: 32}
+    rng = np.random.RandomState(33)
+    ids = rng.randint(0, V, (2, 2, STEPS, B, L)).astype(np.int32)
+    ys = rng.randint(0, NC, (2, 2, STEPS, B)).astype(np.int32)
+
+    spec = GroupSpec(modality="txt", criterion="CrossEntropyLoss",
+                     txt_slot=1)
+    clients = {i: agg.ClientMeta(id=i, dataset="TXTDS", modality="txt",
+                                 task="cls", n_train=sizes[i])
+               for i in (0, 1)}
+    names = [n for _, n in naming.param_names(cfg)]
+    param_scope = naming.build_param_scope(names, "none", "dataset")
+
+    # ---- ours: both clients in ONE vmapped group update per round
+    ospec = OptimizerSpec(name="AdamW", weight_decay=0.0)
+    update = build_group_update(cfg, spec, ospec, None)
+    gp = g0
+    for r in range(2):
+        stacked = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (2,) + x.shape) + 0, gp)
+        ostate = init_opt_state(ospec, stacked)
+        ostate["t"] = jnp.zeros((2,), jnp.int32)
+        full = {"x": ids[:, r], "y": ys[:, r],
+                "valid": np.ones((2, STEPS, B), bool),
+                "step_valid": np.ones((2, STEPS), bool)}
+        rngs = jax.random.split(jax.random.PRNGKey(100 + r), 2)
+        uploads, _, _ = update(stacked, ostate, full, rngs,
+                               jnp.float32(LR), gp)
+        jobs, weights = agg.plan_aggregation(
+            "TXTDS", cfg, {"TXTDS": cfg}, clients, [0, 1], sizes,
+            param_scope, ["txt", "txt"], {"TXTDS": [0, 1]},
+            share_scope="dataset", model_modality="txt", model_task="cls")
+        gp = agg.apply_aggregation(jobs, weights, gp, {"TXTDS": uploads})
+
+    # ---- torch twins, same recipe
+    twins = [TorchTwinMAT(cfg.modalities, cfg.tasks, depth=2)
+             for _ in range(2)]
+    for tw in twins:
+        _copy_from_jax(tw, cfg, g0)
+
+    def loss_for(c, r):
+        def loss(tw, s):
+            logits = tw([None, torch.tensor(ids[c, r, s])])[1]
+            return torch.nn.CrossEntropyLoss()(
+                logits, torch.tensor(ys[c, r, s]).long())
+        return loss
+
+    g_sd = {k: v.detach().clone() for k, v in twins[0].state_dict().items()}
+    for r in range(2):
+        for c, tw in enumerate(twins):
+            _train_twin(tw, range(STEPS), loss_for(c, r))
+        with torch.no_grad():
+            # the reference accumulation: final += (local - final) * c_i,
+            # client order = sorted ids (fedavgserver.py:655-665)
+            sds = [tw.state_dict() for tw in twins]
+            for c in (0, 1):
+                coef = sizes[c] / 128.0
+                for k in g_sd:
+                    g_sd[k] += (sds[c][k] - g_sd[k]) * coef
+            for tw in twins:
+                tw.load_state_dict(g_sd)
+
+    t_tree = _twin_tree(twins[0], cfg)
+    gp_stacked = jax.tree_util.tree_map(lambda x: np.asarray(x)[None], gp)
+    _assert_trees_close(gp_stacked, t_tree)
