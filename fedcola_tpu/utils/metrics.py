@@ -62,7 +62,11 @@ class Acc1(BaseMetric):
     def summarize(self):
         scores, answers = self._cat()
         labels = _to_labels(scores, answers, self._use_youdenj)
-        return float((labels == answers).mean())
+        # binary heads give [N, 1] targets while _to_labels flattens the
+        # sigmoid path; flatten both (sklearn's accuracy_score compares the
+        # reference's [N, 1] columns elementwise — a raw == here would
+        # broadcast [N] against [N, 1])
+        return float((labels.reshape(-1) == answers.reshape(-1)).mean())
 
 
 class Acc5(BaseMetric):
@@ -86,14 +90,16 @@ class Precision(BaseMetric):
     def summarize(self):
         scores, answers = self._cat()
         labels = _to_labels(scores, answers, self._use_youdenj)
-        return _prf(answers, labels, "precision", "weighted")
+        return _prf(answers.reshape(-1), labels.reshape(-1),
+                    "precision", "weighted")
 
 
 class Recall(BaseMetric):
     def summarize(self):
         scores, answers = self._cat()
         labels = _to_labels(scores, answers, self._use_youdenj)
-        return _prf(answers, labels, "recall", "weighted")
+        return _prf(answers.reshape(-1), labels.reshape(-1),
+                    "recall", "weighted")
 
 
 def _prf(true, pred, kind, average):
