@@ -27,6 +27,19 @@ the step, like the client schedule; the reference's dormant classes
 read the one shared lr kwarg — their unset v0/tau would crash, a
 documented quirk).  Sanity anchor: ``fedavgm --beta1 0 --server_lr 1``
 is exactly the plain FedAvg aggregate.
+
+First-step moment init: moments start at ZERO (the FedOpt paper's
+m_0 = 0, v_0 = tau^2-ish convention with v_0 = 0 here), which is a
+deliberate divergence from the dormant upstream classes — those
+initialize ``momentum_buffer2`` from a ``v0`` kwarg and then
+immediately apply the recurrence AGAIN in the same step (first
+fedadam v = b2*(v0*b2 + (1-b2)*d^2) + (1-b2)*d^2, fedadagrad
+v = v0 + 2*d^2; fedadam.py:38-42, fedadagrad.py:36-40), a
+double-apply that only exists because the init expression duplicates
+the update line.  Since the upstream server never constructs these
+classes (and ``kwargs.get('v0')`` returns None, so invoking them
+crashes), there is no runnable upstream behavior to match; the paper
+recurrence from zero moments is the spec here.
 """
 
 from __future__ import annotations

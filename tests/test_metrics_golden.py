@@ -154,3 +154,91 @@ def test_rmse_matches_reference_semantics(ref_zoo):
     ref_mse, _ = _run_pair(ref_zoo.Mse, ours.Mse, batches)
     _, our_rmse = _run_pair(ref_zoo.Mse, ours.Rmse, batches)
     np.testing.assert_allclose(our_rmse, np.sqrt(ref_mse), rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def ref_mm(ref_zoo):
+    """The real src/utils.py MetricManager, with its
+    import_module('.metrics') satisfied by a synthetic package whose
+    __path__ points at the reference tree (src/__init__.py never runs,
+    so its transformers import is not pulled in)."""
+    pkg = types.ModuleType("refsrc")
+    pkg.__path__ = ["/root/reference/src"]
+    keys = ("refsrc", "refsrc.utils", "refsrc.metrics",
+            "refsrc.metrics.metricszoo", "refsrc.metrics.basemetric")
+    saved = {k: sys.modules.get(k) for k in keys}
+    sys.modules["refsrc"] = pkg
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "refsrc.utils", "/root/reference/src/utils.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["refsrc.utils"] = mod
+        spec.loader.exec_module(mod)
+        # the package must stay installed: MetricManager resolves
+        # import_module('.metrics', 'refsrc') lazily at construction
+        yield mod.MetricManager
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def test_metric_manager_matches_reference(ref_mm):
+    """Running-loss math (loss * len(pred), / total_len on aggregate) and
+    per-metric delegation (src/utils.py:337-358), including the youdenj
+    broadcast flag and the curr_step-keyed results variant."""
+    from fedcola_tpu.utils.metrics import MetricManager
+    rng = np.random.RandomState(29)
+    ref = ref_mm(["acc1", "f1"])
+    our = MetricManager(["acc1", "f1"])
+    total = 0
+    for i, n in enumerate((32, 48, 16)):
+        pred = rng.randn(n, 5).astype(np.float32)
+        true = rng.randint(0, 5, n).astype(np.int64)
+        loss = float(rng.rand() * 3)
+        ref.track(loss, torch.tensor(pred), torch.tensor(true))
+        our.track(loss, pred, true)
+        total += n
+    ref.aggregate(total)
+    our.aggregate(total)
+    np.testing.assert_allclose(our.results["loss"], ref.results["loss"],
+                               rtol=1e-6)
+    for k in ("acc1", "f1"):
+        np.testing.assert_allclose(our.results["metrics"][k],
+                                   ref.results["metrics"][k], rtol=1e-6,
+                                   err_msg=k)
+
+    # curr_step-keyed epoch results + figures reset between epochs
+    ref2, our2 = ref_mm(["acc1"]), MetricManager(["acc1"])
+    for step in (1, 2):
+        pred = rng.randn(24, 5).astype(np.float32)
+        true = rng.randint(0, 5, 24).astype(np.int64)
+        ref2.track(0.5 * step, torch.tensor(pred), torch.tensor(true))
+        our2.track(0.5 * step, pred, true)
+        ref2.aggregate(24, curr_step=step)
+        our2.aggregate(24, curr_step=step)
+        # the reference metric objects keep collecting across epochs
+        # (they are never re-instantiated inside an epoch loop)
+    for step in (1, 2):
+        np.testing.assert_allclose(our2.results[step]["loss"],
+                                   ref2.results[step]["loss"], rtol=1e-6)
+        np.testing.assert_allclose(
+            our2.results[step]["metrics"]["acc1"],
+            ref2.results[step]["metrics"]["acc1"], rtol=1e-6)
+
+    # youdenj flag broadcast: tracking youdenj flips _use_youdenj on
+    # every metric in BOTH implementations
+    ref3, our3 = ref_mm(["acc1", "youdenj"]), MetricManager(
+        ["acc1", "youdenj"])
+    pred = rng.randn(64, 1).astype(np.float32)
+    true = rng.randint(0, 2, (64, 1)).astype(np.int64)
+    ref3.track(1.0, torch.tensor(pred), torch.tensor(true))
+    our3.track(1.0, pred, true)
+    ref3.aggregate(64)
+    our3.aggregate(64)
+    for k in ("acc1", "youdenj"):
+        np.testing.assert_allclose(our3.results["metrics"][k],
+                                   ref3.results["metrics"][k], rtol=1e-6,
+                                   err_msg=k)
