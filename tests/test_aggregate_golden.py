@@ -1,0 +1,241 @@
+"""Golden tests of aggregation against the ACTUAL reference `_aggregate`.
+
+`fedavgserver.py` imports timm/wandb/src.models.mome at module level, but
+`_aggregate` (fedavgserver.py:591-668) touches none of them — stub those
+three imports with empty modules, expose the real `src.utils` /
+`src.metrics.eval_coco` via a synthetic package, load the real class, and
+invoke the UNMODIFIED upstream method on a duck-typed server: a dict-backed
+global model (`required_params`/`load_state_dict`), clients whose
+`upload()` returns named tensors, and the literal args surface.
+
+This replaces the numpy simulation golden (test_aggregate.py) with the
+reference's own code for every scope/compensation combination, including
+the `identifier` loop-variable leak in the compensation modality_exact
+branch (fedavgserver.py:648) and the fedavg=True pre-eval variant.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+from collections import OrderedDict
+
+import jax
+import numpy as np
+import pytest
+import torch
+
+from fedcola_tpu.models import naming
+from fedcola_tpu.models.mat import init_mat
+from fedcola_tpu.federation import aggregate as agg
+
+from test_aggregate import (EXP_MODALITIES, MODALITY, TASK, make_world,
+                            named_upload, toy_cfgs)
+
+REF_SRC = "/root/reference/src"
+
+
+def _load_as(modname, path):
+    spec = importlib.util.spec_from_file_location(modname, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[modname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_server_cls():
+    if not os.path.exists(os.path.join(REF_SRC, "server/fedavgserver.py")):
+        pytest.skip("reference tree not mounted")
+    keys = ("src", "src.utils", "src.metrics", "src.metrics.metricszoo",
+            "src.metrics.basemetric", "src.metrics.eval_coco", "src.models",
+            "src.models.mome", "src.server", "src.server.baseserver",
+            "src.server.fedavgserver", "timm", "wandb")
+    saved = {k: sys.modules.get(k) for k in keys}
+    try:
+        pkg = types.ModuleType("src")
+        pkg.__path__ = [REF_SRC]
+        sys.modules["src"] = pkg
+        utils = _load_as("src.utils", os.path.join(REF_SRC, "utils.py"))
+        pkg.MetricManager = utils.MetricManager
+        pkg.TqdmToLogger = utils.TqdmToLogger
+        pkg.init_weights = utils.init_weights
+        met_pkg = types.ModuleType("src.metrics")
+        met_pkg.__path__ = [os.path.join(REF_SRC, "metrics")]
+        sys.modules["src.metrics"] = met_pkg
+        _load_as("src.metrics.eval_coco",
+                 os.path.join(REF_SRC, "metrics/eval_coco.py"))
+        # module-level imports _aggregate never touches
+        sys.modules["timm"] = types.ModuleType("timm")
+        sys.modules["wandb"] = types.ModuleType("wandb")
+        models_pkg = types.ModuleType("src.models")
+        models_pkg.__path__ = []
+        sys.modules["src.models"] = models_pkg
+        mome_stub = types.ModuleType("src.models.mome")
+        sys.modules["src.models.mome"] = mome_stub
+        models_pkg.mome = mome_stub
+        srv_pkg = types.ModuleType("src.server")
+        srv_pkg.__path__ = [os.path.join(REF_SRC, "server")]
+        sys.modules["src.server"] = srv_pkg
+        _load_as("src.server.baseserver",
+                 os.path.join(REF_SRC, "server/baseserver.py"))
+        favs = _load_as("src.server.fedavgserver",
+                        os.path.join(REF_SRC, "server/fedavgserver.py"))
+        yield favs.FedavgServer
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+class _Model:
+    """Duck global model: required_params() hands out the live tensors,
+    exactly like state_dict() + shallow copy(sd) upstream (mome.py:844-860
+    + fedavgserver.py:597), so _aggregate's in-place `final_sd[p] +=`
+    mutates them; load_state_dict re-binds."""
+
+    def __init__(self, named):
+        self._named = OrderedDict(
+            (k, torch.tensor(np.array(v))) for k, v in named.items())
+
+    def cpu(self):
+        return self
+
+    def required_params(self):
+        return OrderedDict(self._named)
+
+    def load_state_dict(self, sd, strict=False):
+        self._named = OrderedDict(sd)
+
+
+class _Client:
+    def __init__(self, meta, upload_named):
+        self.dataset = meta.dataset
+        self.task = meta.task
+        self.modality = meta.modality
+        self._up = OrderedDict(
+            (k, torch.tensor(np.array(v))) for k, v in upload_named.items())
+
+    def upload(self):
+        return list(self._up.items())
+
+
+class _Args:
+    def __init__(self, **kw):
+        self.algorithm = "fedavg"
+        self.modalities = list(EXP_MODALITIES)
+        self.__dict__.update(kw)
+
+
+@pytest.mark.parametrize("shared_param,share_scope,compensation,oms", [
+    ("none", "dataset", False, 1.0),            # FedAVG
+    ("attn", "modality", True, 1.0),            # FedCola
+    ("attn", "modality", True, 0.5),            # FedCola + out-modality scale
+    ("blocks", "modality_exact", False, 1.0),   # FedIoT sharing
+    ("blocks", "modality_exact", True, 1.0),    # compensation leak branch
+    ("attn", "all", False, 1.0),
+    ("attn", "modality", False, 1.0),
+])
+@pytest.mark.parametrize("fedavg", [False, True])
+def test_real_aggregate_matches_ours(ref_server_cls, shared_param,
+                                     share_scope, compensation, oms, fedavg):
+    cfgs = toy_cfgs(shared_param, share_scope)
+    clients = make_world(cfgs)
+    sorted_ids = [0, 1, 2, 3, 4]
+    updated_sizes = {c.id: c.n_train for c in clients.values()}
+
+    key = jax.random.PRNGKey(7)
+    client_params = {}
+    for cid, c in clients.items():
+        key, k = jax.random.split(key)
+        client_params[cid] = init_mat(cfgs[c.dataset], k)
+    group_members = {}
+    for cid, c in clients.items():
+        group_members.setdefault(c.dataset, []).append(cid)
+    stacked = {
+        ds: jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]),
+            *[client_params[cid] for cid in ids])
+        for ds, ids in group_members.items()
+    }
+
+    all_names = []
+    for cfg in cfgs.values():
+        for _, n in naming.param_names(cfg):
+            if n not in all_names:
+                all_names.append(n)
+    param_scope = naming.build_param_scope(all_names, shared_param,
+                                           share_scope)
+
+    ref_clients = {cid: _Client(c, named_upload(cfgs[c.dataset],
+                                                client_params[cid]))
+                   for cid, c in clients.items()}
+
+    key2 = jax.random.PRNGKey(13)
+    for model_ds, cfg in cfgs.items():
+        key2, k = jax.random.split(key2)
+        gparams = init_mat(cfg, k)
+
+        # ---- the REAL upstream method on a duck server
+        required = naming.required_param_names(cfg)
+        srv = ref_server_cls.__new__(ref_server_cls)
+        srv.args = _Args(compensation=compensation, share_scope=share_scope)
+        srv.clients = ref_clients
+        srv.param_scope = param_scope
+        srv.dataset = model_ds
+        srv.task = TASK[model_ds]
+        srv.modality = MODALITY[model_ds]
+        srv.out_modality_scale = oms
+        srv.round = 1
+        model = _Model({n: naming.get_by_path(gparams, p)
+                        for p, n in required})
+        srv.global_model = model
+        if fedavg and share_scope == "modality_exact":
+            # the upstream fedavg=True branch never assigns numerators for
+            # modality_exact-scoped params, so coefficients[param] is {}
+            # and the accumulate loop KeyErrors (fedavgserver.py:602-614,
+            # 658) — the dead combination our aggregate.py:130-143
+            # documents.  Verify the crash is real, then verify our
+            # documented fallback: those params keep the global value.
+            with pytest.raises(KeyError):
+                ref_server_cls._aggregate(srv, sorted_ids, updated_sizes,
+                                          fedavg=True)
+            jobs, weights = agg.plan_aggregation(
+                model_ds, cfg, {d: cfgs[d] for d in group_members},
+                clients, sorted_ids, updated_sizes, param_scope,
+                EXP_MODALITIES, group_members,
+                out_modality_scale=oms, compensation=compensation,
+                share_scope=share_scope, fedavg=True,
+                model_modality=MODALITY[model_ds], model_task=TASK[model_ds])
+            new_params = agg.apply_aggregation(jobs, weights, gparams,
+                                               stacked)
+            for path, name in required:
+                if param_scope[name] != "modality_exact":
+                    continue
+                np.testing.assert_array_equal(
+                    np.asarray(naming.get_by_path(new_params, path)),
+                    np.asarray(naming.get_by_path(gparams, path)),
+                    err_msg=f"{model_ds}:{name} should keep global value")
+            continue
+        ref_server_cls._aggregate(srv, sorted_ids, updated_sizes,
+                                  fedavg=fedavg)
+        golden = {k_: v.numpy() for k_, v in model._named.items()}
+
+        # ---- ours
+        jobs, weights = agg.plan_aggregation(
+            model_ds, cfg, {d: cfgs[d] for d in group_members},
+            clients, sorted_ids, updated_sizes, param_scope,
+            EXP_MODALITIES, group_members,
+            out_modality_scale=oms, compensation=compensation,
+            share_scope=share_scope, fedavg=fedavg,
+            model_modality=MODALITY[model_ds], model_task=TASK[model_ds])
+        new_params = agg.apply_aggregation(jobs, weights, gparams, stacked)
+
+        for path, name in required:
+            got = np.asarray(naming.get_by_path(new_params, path))
+            np.testing.assert_allclose(
+                got, golden[name], rtol=2e-5, atol=2e-6,
+                err_msg=(f"{model_ds}:{name} ({shared_param}/{share_scope}"
+                         f"/comp={compensation}/oms={oms}/fedavg={fedavg})"))
