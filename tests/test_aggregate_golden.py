@@ -44,13 +44,14 @@ def _load_as(modname, path):
 
 
 @pytest.fixture(scope="module")
-def ref_server_cls():
+def ref_servers():
     if not os.path.exists(os.path.join(REF_SRC, "server/fedavgserver.py")):
         pytest.skip("reference tree not mounted")
     keys = ("src", "src.utils", "src.metrics", "src.metrics.metricszoo",
             "src.metrics.basemetric", "src.metrics.eval_coco", "src.models",
-            "src.models.mome", "src.server", "src.server.baseserver",
-            "src.server.fedavgserver", "timm", "wandb")
+            "src.models.mome", "src.datasets", "src.datasets.coco",
+            "src.server", "src.server.baseserver", "src.server.fedavgserver",
+            "src.server.creamflserver", "timm", "wandb")
     saved = {k: sys.modules.get(k) for k in keys}
     try:
         pkg = types.ModuleType("src")
@@ -65,7 +66,8 @@ def ref_server_cls():
         sys.modules["src.metrics"] = met_pkg
         _load_as("src.metrics.eval_coco",
                  os.path.join(REF_SRC, "metrics/eval_coco.py"))
-        # module-level imports _aggregate never touches
+        # module-level imports _aggregate never touches: timm/wandb, the
+        # mome model, and the torchvision-dependent coco dataset module
         sys.modules["timm"] = types.ModuleType("timm")
         sys.modules["wandb"] = types.ModuleType("wandb")
         models_pkg = types.ModuleType("src.models")
@@ -74,6 +76,15 @@ def ref_server_cls():
         mome_stub = types.ModuleType("src.models.mome")
         sys.modules["src.models.mome"] = mome_stub
         models_pkg.mome = mome_stub
+        ds_pkg = types.ModuleType("src.datasets")
+        ds_pkg.__path__ = []
+        sys.modules["src.datasets"] = ds_pkg
+        coco_stub = types.ModuleType("src.datasets.coco")
+        coco_stub.CocoCaptionsCap = object
+        coco_stub.img_transform = None
+        coco_stub.txt_transform = None
+        sys.modules["src.datasets.coco"] = coco_stub
+        ds_pkg.coco = coco_stub
         srv_pkg = types.ModuleType("src.server")
         srv_pkg.__path__ = [os.path.join(REF_SRC, "server")]
         sys.modules["src.server"] = srv_pkg
@@ -81,13 +92,20 @@ def ref_server_cls():
                  os.path.join(REF_SRC, "server/baseserver.py"))
         favs = _load_as("src.server.fedavgserver",
                         os.path.join(REF_SRC, "server/fedavgserver.py"))
-        yield favs.FedavgServer
+        crml = _load_as("src.server.creamflserver",
+                        os.path.join(REF_SRC, "server/creamflserver.py"))
+        yield favs.FedavgServer, crml.CreamflServer
     finally:
         for k, v in saved.items():
             if v is None:
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = v
+
+
+@pytest.fixture(scope="module")
+def ref_server_cls(ref_servers):
+    return ref_servers[0]
 
 
 class _Model:
@@ -239,3 +257,110 @@ def test_real_aggregate_matches_ours(ref_server_cls, shared_param,
                 got, golden[name], rtol=2e-5, atol=2e-6,
                 err_msg=(f"{model_ds}:{name} ({shared_param}/{share_scope}"
                          f"/comp={compensation}/oms={oms}/fedavg={fedavg})"))
+
+
+class _CreamflModel(_Model):
+    """CreamflServer._aggregate additionally calls state_dict(), train(),
+    to(device), and builds an AdamW over parameters() for the distill
+    phase (skipped here via an empty pub_loader)."""
+
+    def state_dict(self):
+        return OrderedDict(self._named)
+
+    def parameters(self):
+        if not hasattr(self, "_dummy"):
+            self._dummy = torch.zeros(1, requires_grad=True)
+        return [self._dummy]
+
+    def train(self):
+        return self
+
+    def to(self, device):
+        return self
+
+    def load_state_dict(self, sd, strict=True):
+        self._named = OrderedDict(sd)
+
+
+@pytest.mark.parametrize("shared_param,share_scope,compensation", [
+    ("none", "dataset", False),
+    ("attn", "modality", True),
+    ("attn", "modality", False),
+    ("attn", "all", False),
+])
+def test_real_creamfl_aggregate_matches_ours(ref_servers, shared_param,
+                                             share_scope, compensation):
+    """The mm dataset's CreamFL aggregation: zero-initialized accumulate
+    final += local * c_i (NOT the fedavg EMA), exact-equality 'modality'
+    scope, compensation dividing by the UNFILTERED total
+    (creamflserver.py:251-291).  The distill phase after the accumulate is
+    skipped with an empty pub_loader/distill_index — it is trajectory-
+    tested against a torch twin in test_creamfl_parity.py."""
+    _, CreamflServer = ref_servers
+    cfgs = toy_cfgs(shared_param, share_scope)
+    clients = make_world(cfgs)
+    sorted_ids = [0, 1, 2, 3, 4]
+    updated_sizes = {c.id: c.n_train for c in clients.values()}
+
+    key = jax.random.PRNGKey(7)
+    client_params = {}
+    for cid, c in clients.items():
+        key, k = jax.random.split(key)
+        client_params[cid] = init_mat(cfgs[c.dataset], k)
+    group_members = {}
+    for cid, c in clients.items():
+        group_members.setdefault(c.dataset, []).append(cid)
+    stacked = {
+        ds: jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]),
+            *[client_params[cid] for cid in ids])
+        for ds, ids in group_members.items()
+    }
+    all_names = []
+    for cfg in cfgs.values():
+        for _, n in naming.param_names(cfg):
+            if n not in all_names:
+                all_names.append(n)
+    param_scope = naming.build_param_scope(all_names, shared_param,
+                                           share_scope)
+    ref_clients = {cid: _Client(c, named_upload(cfgs[c.dataset],
+                                                client_params[cid]))
+                   for cid, c in clients.items()}
+
+    model_ds, cfg = "Coco", cfgs["Coco"]
+    gparams = init_mat(cfg, jax.random.PRNGKey(13))
+    required = naming.required_param_names(cfg)
+
+    srv = CreamflServer.__new__(CreamflServer)
+    srv.args = _Args(compensation=compensation, share_scope=share_scope,
+                     algorithm="creamfl", p_lr=1e-4, kd_weight=0.0)
+    srv.clients = ref_clients
+    srv.param_scope = param_scope
+    srv.dataset = model_ds
+    srv.task = TASK[model_ds]
+    srv.modality = MODALITY[model_ds]
+    srv.round = 1
+    srv.device = torch.device("cpu")
+    srv.distill_index = []
+    srv.pub_loader = []
+    model = _CreamflModel({n: naming.get_by_path(gparams, p)
+                           for p, n in required})
+    srv.global_model = model
+    CreamflServer._aggregate(srv, sorted_ids, updated_sizes)
+    golden = {k_: v.numpy() for k_, v in model._named.items()}
+
+    jobs, weights = agg.plan_aggregation(
+        model_ds, cfg, {d: cfgs[d] for d in group_members},
+        clients, sorted_ids, updated_sizes, param_scope,
+        EXP_MODALITIES, group_members,
+        compensation=compensation, share_scope=share_scope,
+        fedavg=False, creamfl=True, zero_init=True,
+        model_modality=MODALITY[model_ds], model_task=TASK[model_ds])
+    new_params = agg.apply_aggregation(jobs, weights, gparams, stacked)
+
+    for path, name in required:
+        got = np.asarray(naming.get_by_path(new_params, path))
+        np.testing.assert_allclose(
+            got, golden[name], rtol=2e-5, atol=2e-6,
+            err_msg=f"creamfl {name} ({shared_param}/{share_scope}"
+                    f"/comp={compensation})")
