@@ -364,3 +364,95 @@ def test_real_creamfl_aggregate_matches_ours(ref_servers, shared_param,
             got, golden[name], rtol=2e-5, atol=2e-6,
             err_msg=f"creamfl {name} ({shared_param}/{share_scope}"
                     f"/comp={compensation})")
+
+
+class _SamplingClient:
+    def __init__(self, cid, dataset, modality):
+        self.id = cid
+        self.dataset = dataset
+        self.modality = modality
+
+
+def _sampling_world():
+    datasets = ["CIFAR100"] * 4 + ["AG_NEWS"] * 4 + ["Coco"] * 2
+    modality = {"CIFAR100": "img", "AG_NEWS": "txt", "Coco": "img+txt"}
+    return [_SamplingClient(i, ds, modality[ds])
+            for i, ds in enumerate(datasets)]
+
+
+def test_real_sample_clients_matches_ours(ref_servers):
+    """Our stateless sampler derives random.Random((seed, round)-mix); the
+    reference draws from the globally-seeded random module
+    (fedavgserver.py:282-312).  Seeding the global stream with the same
+    mix must give identical cohorts — same sample() call order per branch:
+    equal_sampled per-dataset loops, the global C branch, eval sampling
+    over unparticipated ids, and the warmup modality filter."""
+    import random as _random
+    from fedcola_tpu.data.sampling import sample_clients
+    FedavgServer, _ = ref_servers
+    world = _sampling_world()
+    client_dataset_of = [c.dataset for c in world]
+    client_modality_of = [c.modality for c in world]
+    Cs = {"CIFAR100": 0.5, "AG_NEWS": 0.75, "Coco": 1.0}
+    seed = 9
+
+    def make_srv(**args_kw):
+        srv = FedavgServer.__new__(FedavgServer)
+        base = dict(K=len(world), eval_fraction=1.0, C=0.5,
+                    datasets=["CIFAR100", "AG_NEWS", "Coco"],
+                    equal_sampled=True, warmup_modality="none",
+                    warmup_rounds=0)
+        base.update(args_kw)
+        srv.args = _Args(**base)
+        srv.clients = world
+        srv.Cs = Cs
+        return srv
+
+    def mix(round_idx, eval_mode=False):
+        return int(seed) * 1_000_003 + int(round_idx) * 2 + (
+            1 if eval_mode else 0)
+
+    # equal_sampled across rounds
+    srv = make_srv()
+    for r in (1, 2, 7):
+        srv.round = r
+        _random.seed(mix(r))
+        theirs = FedavgServer._sample_clients(srv)
+        ours = sample_clients(seed, client_dataset_of, client_modality_of,
+                              srv.args.datasets, Cs, srv.args.C,
+                              equal_sampled=True, round_idx=r)
+        assert ours == theirs, f"equal_sampled round {r}"
+
+    # global C branch
+    srv = make_srv(equal_sampled=False)
+    srv.round = 3
+    _random.seed(mix(3))
+    theirs = FedavgServer._sample_clients(srv)
+    ours = sample_clients(seed, client_dataset_of, client_modality_of,
+                          srv.args.datasets, Cs, srv.args.C,
+                          equal_sampled=False, round_idx=3)
+    assert ours == theirs, "global C branch"
+
+    # eval sampling over unparticipated clients
+    srv = make_srv(equal_sampled=False, eval_fraction=0.5)
+    srv.round = 3
+    exclude = [0, 1, 2, 5]
+    _random.seed(mix(3, eval_mode=True))
+    theirs = FedavgServer._sample_clients(srv, exclude=exclude)
+    ours = sample_clients(seed, client_dataset_of, client_modality_of,
+                          srv.args.datasets, Cs, srv.args.C,
+                          equal_sampled=False, round_idx=3, exclude=exclude,
+                          eval_fraction=0.5, eval_mode=True)
+    assert ours == theirs, "eval sampling"
+
+    # warmup filter keeps only the warmup modality
+    srv = make_srv(warmup_modality="img", warmup_rounds=5)
+    srv.round = 2
+    _random.seed(mix(2))
+    theirs = FedavgServer._sample_clients(srv)
+    ours = sample_clients(seed, client_dataset_of, client_modality_of,
+                          srv.args.datasets, Cs, srv.args.C,
+                          equal_sampled=True, round_idx=2,
+                          warmup_modality="img", warmup_rounds=5)
+    assert ours == theirs and all(
+        client_modality_of[i] == "img" for i in ours), "warmup filter"
