@@ -456,3 +456,39 @@ def test_real_sample_clients_matches_ours(ref_servers):
                           warmup_modality="img", warmup_rounds=5)
     assert ours == theirs and all(
         client_modality_of[i] == "img" for i in ours), "warmup filter"
+
+
+@pytest.mark.parametrize("shared_param", ["none", "attn", "blocks", "mlp"])
+@pytest.mark.parametrize("share_scope", ["modality", "all",
+                                         "modality_exact", "dataset"])
+def test_real_param_scope_table_matches_ours(ref_servers, shared_param,
+                                             share_scope):
+    """The real _init_param_scope (fedavgserver.py:182-238) over the union
+    of all models' names vs naming.build_param_scope, plus the
+    get_name_modality module function on every name."""
+    FedavgServer, _ = ref_servers
+    import src.server.fedavgserver as favs_mod
+    cfgs = toy_cfgs(shared_param if shared_param != "mlp" else "attn",
+                    share_scope)
+    all_names = []
+    for cfg in cfgs.values():
+        for _, n in naming.param_names(cfg):
+            if n not in all_names:
+                all_names.append(n)
+
+    srv = FedavgServer.__new__(FedavgServer)
+    srv.global_models = {
+        ds: _CreamflModel({n: np.zeros(1, np.float32)
+                           for _, n in naming.param_names(cfg)})
+        for ds, cfg in cfgs.items()}
+    FedavgServer._init_param_scope(srv, shared_param, share_scope)
+    ours = naming.build_param_scope(all_names, shared_param, share_scope)
+    assert set(srv.param_scope) == set(all_names)
+    for name in all_names:
+        assert ours[name] == srv.param_scope[name], (
+            f"{name}: ours={ours[name]} ref={srv.param_scope[name]} "
+            f"({shared_param}/{share_scope})")
+
+    for name in all_names:
+        assert (naming.get_name_modality(name, EXP_MODALITIES)
+                == favs_mod.get_name_modality(name, EXP_MODALITIES)), name
