@@ -118,7 +118,11 @@ def load_federated_data(cfg: ExperimentConfig,
                     for c in np.unique(train.targets[idx]):
                         cls_idx = split_rng.permutation(
                             idx[train.targets[idx] == c])
-                        n_te = int(len(cls_idx) * cfg.test_size)
+                        # round(), not int(): stratified_split sizes the
+                        # per-class holdout with Python round
+                        # (src/utils.py:175), vs the retrieval branch's
+                        # int() truncation below (data.py:147)
+                        n_te = round(len(cls_idx) * cfg.test_size)
                         te_parts.append(cls_idx[:n_te])
                         tr_parts.append(cls_idx[n_te:])
                     test_idx = np.concatenate(te_parts)

@@ -301,3 +301,59 @@ def test_medmnist_flag_threaded_from_modalities(tmp_path):
     assert all(m.modality == "ct" for m in data.client_meta.values())
     assert data.server_eval["MedMNIST"].n == 10
     assert data.server_eval["MedMNIST"].num_classes == 11
+
+
+def test_stratified_holdout_counts_match_reference(tmp_path):
+    """Per-client cls holdout sizes: the reference's stratified_split takes
+    round(len*test_size) PER CLASS (src/utils.py:168-179), not int()
+    truncation (that is the retrieval/regression branch, data.py:147).
+    Drive the REAL upstream function (utils.py loads standalone; its lazy
+    .metrics import only fires inside MetricManager) and compare per-class
+    test counts — memberships differ by RNG plumbing, counts must not."""
+    import importlib.util
+    import torch
+    ref_utils_path = "/root/reference/src/utils.py"
+    if not os.path.exists(ref_utils_path):
+        pytest.skip("reference tree not mounted")
+    spec = importlib.util.spec_from_file_location("ref_utils_sd",
+                                                  ref_utils_path)
+    ref_utils = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_utils)
+
+    rng = np.random.RandomState(3)
+    # ragged class sizes chosen so round() != int() for several classes
+    targets = np.concatenate([np.full(n, c) for c, n in
+                              enumerate((7, 9, 11, 13, 5))])
+    order = rng.permutation(len(targets))
+    targets = targets[order]
+
+    class _DS(torch.utils.data.Dataset):
+        def __init__(self):
+            self.targets = targets.tolist()
+
+        def __len__(self):
+            return len(targets)
+
+        def __getitem__(self, i):
+            return 0, self.targets[i]
+
+    test_size = 0.3
+    subset = torch.utils.data.Subset(_DS(), list(range(len(targets))))
+    _, ref_test = ref_utils.stratified_split(subset, test_size)
+    ref_counts = np.bincount(targets[np.asarray(ref_test.indices)],
+                             minlength=5)
+
+    # ours: the loaders.py cls-holdout recipe on the same targets
+    split_rng = np.random.RandomState(11)
+    idx = np.arange(len(targets))
+    te_parts = []
+    for c in np.unique(targets):
+        cls_idx = split_rng.permutation(idx[targets == c])
+        n_te = round(len(cls_idx) * test_size)
+        te_parts.append(cls_idx[:n_te])
+    our_counts = np.bincount(targets[np.concatenate(te_parts)], minlength=5)
+    np.testing.assert_array_equal(our_counts, ref_counts)
+    # the distinguishing case: int() truncation would give a different
+    # total on these ragged sizes
+    assert our_counts.sum() != sum(int(n * test_size)
+                                   for n in (7, 9, 11, 13, 5))
