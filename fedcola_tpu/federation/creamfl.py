@@ -211,6 +211,18 @@ class CreamflServer(FedAvgServer):
             name=self.opt_spec.name, weight_decay=self.opt_spec.weight_decay,
             momentum=self.opt_spec.momentum, nesterov=self.opt_spec.nesterov,
             max_grad_norm=2.0)  # hardcoded clip (creamflclient.py:238)
+        # the pub loss is feat_out-only, so cls heads get grad None in
+        # torch and AdamW SKIPS them — no param move, no moment decay, no
+        # step-count advance (shared optimizer across phases,
+        # creamflclient.py:83) — while our jax.grad would hand back
+        # explicit zeros and apply the momentum tail.  Freeze them in
+        # this program only.
+        head_paths = tuple(
+            ("head", str(i), leaf)
+            for i, task in enumerate(mcfg.tasks) if task == "cls"
+            for leaf in ("kernel", "bias"))
+        frozen_token = tuple(sorted(set(frozen_token or ()) |
+                                    set(head_paths))) or None
         dtype = jnp.dtype(mcfg.compute_dtype)
 
         def feats(params, img, txt, train, rng):

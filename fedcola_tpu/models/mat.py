@@ -378,6 +378,37 @@ def restack_layer_leaves(cfg: MATConfig, tree: Params) -> Params:
     return out
 
 
+def unstack_counter_leaves(cfg: MATConfig, tree: Params) -> Params:
+    """Mirror of :func:`unstack_layer_leaves` for the optimizer's per-leaf
+    step-counter tree: blk/aux counters are scalars (no layer axis), so
+    replicate them across the layer tuples to keep the counter tree
+    structurally aligned with the unstacked params."""
+    out = dict(tree)
+    if "blk" in tree:
+        out["blk"] = {s: {k: tuple(v for _ in range(cfg.depth))
+                          for k, v in slot.items()}
+                      for s, slot in tree["blk"].items()}
+    if "aux" in tree:
+        out["aux"] = {k: tuple(v for _ in range(cfg.depth))
+                      for k, v in tree["aux"].items()}
+    return out
+
+
+def restack_counter_leaves(cfg: MATConfig, tree: Params) -> Params:
+    """Inverse of :func:`unstack_counter_leaves`: frozen masks are
+    per-leaf-path, so every layer of a tuple stepped identically — take
+    the first layer's counter."""
+    out = dict(tree)
+    if "blk" in tree:
+        out["blk"] = {s: {k: (v[0] if isinstance(v, tuple) else v)
+                          for k, v in slot.items()}
+                      for s, slot in tree["blk"].items()}
+    if "aux" in tree:
+        out["aux"] = {k: (v[0] if isinstance(v, tuple) else v)
+                      for k, v in tree["aux"].items()}
+    return out
+
+
 def _effective_kernels(cfg: MATConfig, params: Params, slot: str) -> Params:
     """Fold aux reparam ``W_eff = W + scale * W_aux`` (mome.py:58-60) into the
     stacked kernels of the main slot.  Returns the block stack to run."""

@@ -328,12 +328,16 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
             # replaces per-step stacked-kernel slicing/relayouts; the
             # external contract (stacked trees, checkpoints, aggregation)
             # is untouched
-            from fedcola_tpu.models.mat import (restack_layer_leaves,
+            from fedcola_tpu.models.mat import (restack_counter_leaves,
+                                                restack_layer_leaves,
+                                                unstack_counter_leaves,
                                                 unstack_layer_leaves)
             params = unstack_layer_leaves(cfg, params)
             global_params = unstack_layer_leaves(cfg, global_params)
             opt_state = {k: (unstack_layer_leaves(cfg, v)
-                             if k in ("m", "v", "b") else v)
+                             if k in ("m", "v", "b")
+                             else unstack_counter_leaves(cfg, v)
+                             if k == "t" else v)
                          for k, v in opt_state.items()}
         frozen = make_frozen_mask(params)
         S = chunk["step_valid"].shape[0]
@@ -363,7 +367,9 @@ def build_group_update(cfg: MATConfig, spec: GroupSpec, opt: OptimizerSpec,
         if perlayer:
             params = restack_layer_leaves(cfg, params)
             opt_state = {k: (restack_layer_leaves(cfg, v)
-                             if k in ("m", "v", "b") else v)
+                             if k in ("m", "v", "b")
+                             else restack_counter_leaves(cfg, v)
+                             if k == "t" else v)
                          for k, v in opt_state.items()}
         return params, opt_state, (loss_s, cor_s, nv_s)
 

@@ -42,12 +42,21 @@ class OptimizerSpec:
 
 def init_opt_state(spec: OptimizerSpec, params, n_clients=None):
     """Optimizer state for ``params``.  ``n_clients``: when params are a
-    stacked [n, ...] client tree, the step counter becomes a per-client
-    [n] vector (vmap in_axes=0 over the state needs a mapped leaf; a
+    stacked [n, ...] client tree, the step counters become per-client
+    [n] vectors (vmap in_axes=0 over the state needs a mapped leaf; a
     scalar ``t`` would either fail to map or silently share one step
-    count across clients)."""
+    count across clients).
+
+    ``t`` is a PYTREE of per-leaf counters, not one shared scalar: torch
+    keeps ``state['step']`` per parameter and skips params whose grad is
+    None, so a param outside one phase's graph (e.g. the cls head during
+    CreamFL's feat_out public pass) must neither move nor age while the
+    rest of the model steps — a shared counter would wrongly advance its
+    bias correction for the next phase."""
     mdt = jnp.dtype(spec.moment_dtype)
-    t = jnp.zeros((n_clients,) if n_clients else (), jnp.int32)
+    t = jax.tree_util.tree_map(
+        lambda _: jnp.zeros((n_clients,) if n_clients else (), jnp.int32),
+        params)
     # zeros_like (not jnp.zeros) so moments inherit the params' sharding:
     # params arrive stacked and mesh-sharded over the clients axis, and
     # fresh default-device moments would pile the whole optimizer state
@@ -89,10 +98,10 @@ def opt_update(spec: OptimizerSpec, params, grads, state, lr,
     if spec.max_grad_norm > 0:
         grads = clip_global_norm(grads, spec.max_grad_norm, frozen)
 
-    t = state["t"] + 1
-    tf = t.astype(jnp.float32)
-
-    def leaf_update(p, g, extra):
+    def leaf_update(p, g, t, extra):
+        # per-leaf step count (torch state['step']) — frozen leaves are
+        # handled by the caller and never reach here
+        tf = t.astype(jnp.float32)
         g = g.astype(jnp.float32)
         p32 = p.astype(jnp.float32)
         if spec.name == "AdamW":
@@ -130,6 +139,7 @@ def opt_update(spec: OptimizerSpec, params, grads, state, lr,
 
     flat_p, treedef = jax.tree_util.tree_flatten(params)
     flat_g = treedef.flatten_up_to(grads)
+    flat_t = treedef.flatten_up_to(state["t"])
     flat_frozen = treedef.flatten_up_to(frozen) if frozen is not None \
         else [False] * len(flat_p)
 
@@ -141,27 +151,32 @@ def opt_update(spec: OptimizerSpec, params, grads, state, lr,
         flat_b = treedef.flatten_up_to(state["b"])
         extras = [(b,) for b in flat_b]
 
-    new_p, new_extras = [], []
-    for p, g, fz, ex in zip(flat_p, flat_g, flat_frozen, extras):
+    new_p, new_t, new_extras = [], [], []
+    for p, g, t, fz, ex in zip(flat_p, flat_g, flat_t, flat_frozen, extras):
         if fz:
+            # torch skips grad-None params entirely: no update, no moment
+            # decay, and state['step'] does not advance
             new_p.append(p)
+            new_t.append(t)
             new_extras.append(ex)
         else:
-            np_, ex_ = leaf_update(p, g, ex)
+            np_, ex_ = leaf_update(p, g, t + 1, ex)
             new_p.append(np_)
+            new_t.append(t + 1)
             new_extras.append(ex_)
 
     new_params = jax.tree_util.tree_unflatten(treedef, new_p)
+    t_tree = jax.tree_util.tree_unflatten(treedef, new_t)
     if spec.name in ("Adam", "AdamW"):
         new_state = {
             "m": jax.tree_util.tree_unflatten(treedef, [e[0] for e in new_extras]),
             "v": jax.tree_util.tree_unflatten(treedef, [e[1] for e in new_extras]),
-            "t": t,
+            "t": t_tree,
         }
     else:
         new_state = {
             "b": jax.tree_util.tree_unflatten(treedef, [e[0] for e in new_extras]),
-            "t": t,
+            "t": t_tree,
         }
 
     if step_valid is not None:

@@ -53,7 +53,8 @@ def ref_clients():
     keys = ("src", "src.utils", "src.criterions",
             "src.criterions.segmentation_loss", "src.client",
             "src.client.baseclient", "src.client.fedavgclient",
-            "src.client.fedproxclient", "src.metrics",
+            "src.client.fedproxclient", "src.client.creamflclient",
+            "src.datasets", "src.datasets.coco", "src.metrics",
             "src.metrics.metricszoo", "src.metrics.basemetric")
     saved = {k: sys.modules.get(k) for k in keys}
     try:
@@ -64,11 +65,24 @@ def ref_clients():
         utils = _load_as("src.utils", os.path.join(REF_SRC, "utils.py"))
         pkg.MetricManager = utils.MetricManager
         pkg.TqdmToLogger = utils.TqdmToLogger
+        pkg.init_weights = utils.init_weights
         crit_pkg = types.ModuleType("src.criterions")
         crit_pkg.__path__ = [os.path.join(REF_SRC, "criterions")]
         sys.modules["src.criterions"] = crit_pkg
         _load_as("src.criterions.segmentation_loss",
                  os.path.join(REF_SRC, "criterions/segmentation_loss.py"))
+        # creamflclient imports the torchvision-dependent coco dataset
+        # module at top level but its update()/update_pub_feature() never
+        # touch it — stub the names
+        ds_pkg = types.ModuleType("src.datasets")
+        ds_pkg.__path__ = []
+        sys.modules["src.datasets"] = ds_pkg
+        coco_stub = types.ModuleType("src.datasets.coco")
+        coco_stub.CocoCaptionsCap = object
+        coco_stub.img_transform = None
+        coco_stub.txt_transform = None
+        sys.modules["src.datasets.coco"] = coco_stub
+        ds_pkg.coco = coco_stub
         cl_pkg = types.ModuleType("src.client")
         cl_pkg.__path__ = [os.path.join(REF_SRC, "client")]
         sys.modules["src.client"] = cl_pkg
@@ -78,7 +92,9 @@ def ref_clients():
                         os.path.join(REF_SRC, "client/fedavgclient.py"))
         fprox = _load_as("src.client.fedproxclient",
                          os.path.join(REF_SRC, "client/fedproxclient.py"))
-        yield favg.FedavgClient, fprox.FedproxClient
+        crml = _load_as("src.client.creamflclient",
+                        os.path.join(REF_SRC, "client/creamflclient.py"))
+        yield favg.FedavgClient, fprox.FedproxClient, crml.CreamflClient
     finally:
         for k, v in saved.items():
             if v is None:
@@ -138,7 +154,7 @@ def test_real_fedavgclient_update_matches_ours(ref_clients):
     """The real FedavgClient.update() (fedavgclient.py:55-116) drives the
     twin for E=2 epochs x 2 batches; our vmapped scan must land on the
     same parameters."""
-    FedavgClient, _ = ref_clients
+    FedavgClient, _, _ = ref_clients
     cfg, params, twin, ids, ys, chunk = _golden_case(seed=47, depth=2)
     client = _make_client(FedavgClient, ids, ys)
     client.model = twin
@@ -154,7 +170,7 @@ def test_real_fedavgclient_update_matches_ours(ref_clients):
 def test_real_fedproxclient_update_matches_ours(ref_clients):
     """The real FedproxClient.update() (fedproxclient.py:17-94): deepcopy
     prox anchor at update start, per-named-parameter L2 norms at mu."""
-    _, FedproxClient = ref_clients
+    _, FedproxClient, _ = ref_clients
     mu = 0.05
     cfg, params, twin, ids, ys, chunk = _golden_case(seed=53, depth=2)
     client = _make_client(FedproxClient, ids, ys, mu=mu)
@@ -165,3 +181,93 @@ def test_real_fedproxclient_update_matches_ours(ref_clients):
                      txt_slot=1, mu=mu, algorithm="fedprox")
     stacked = _run_ours(cfg, spec, params, chunk, steps=4)
     _assert_trees_close(stacked, _twin_tree(twin, cfg))
+
+
+def test_real_creamflclient_update_matches_ours(ref_clients):
+    """The real CreamflClient.update() (creamflclient.py:73-246): E=2 task
+    epochs each followed by a public contrastive pass over the pub loader
+    (MOON pos/neg vs the deepcopied round-start model + inter CE at temp
+    0.5, clip 2), ONE AdamW whose moments flow through both phases — then
+    update_pub_feature() (creamflclient.py:38-68) on the trained model.
+    Our interleaved update_fn/pub_fn composition with a shared opt_state
+    must land on the same parameters AND the same public features."""
+    import jax.numpy as jnp
+    from test_creamfl_parity import _mini_server, PUB_TEMPERATURE  # noqa: F401
+    from fedcola_tpu.parallel.client_update import build_group_update
+    from fedcola_tpu.parallel.optim import OptimizerSpec, init_opt_state
+    _, _, CreamflClient = ref_clients
+
+    W, P, PUB_B, E = 0.7, 10, 4, 2
+    cfg, params, twin, ids, ys, chunk = _golden_case(seed=59, depth=2)
+    rng = np.random.RandomState(61)
+    pub_txt = rng.randint(0, V, (P, L)).astype(np.int64)
+    g_img = rng.randn(P, 8).astype(np.float32)
+    g_txt = rng.randn(P, 8).astype(np.float32)
+    g_img /= np.linalg.norm(g_img, axis=-1, keepdims=True)
+    g_txt /= np.linalg.norm(g_txt, axis=-1, keepdims=True)
+
+    # ---- the real client
+    client = _make_client(CreamflClient, ids, ys, E=E, interintra_weight=W,
+                          no_mm_contrastive=False, pub_batch_size=PUB_B)
+    client.model = twin
+    client.pub_dataset = torch.utils.data.TensorDataset(
+        torch.zeros(P, 1), torch.tensor(pub_txt), torch.zeros(P),
+        torch.zeros(P), torch.arange(P))
+    client.global_img_feature = torch.tensor(g_img)
+    client.global_txt_feature = torch.tensor(g_txt)
+    client.distill_index = list(range(P))   # server order (creamflserver
+    # assigns it before update(), _request/__update_clients)
+    client.update()
+    client.update_pub_feature()
+    ref_feats = client.pub_features.numpy()
+
+    # ---- ours: same interleave through the production builders
+    spec = GroupSpec(modality="txt", criterion="CrossEntropyLoss",
+                     txt_slot=1)
+    srv = _mini_server({"AG_NEWS": cfg}, {"AG_NEWS": spec},
+                       interintra_weight=W, no_mm_contrastive=False)
+    pub_fn = srv._build_pub_update("AG_NEWS")
+    update_fn = build_group_update(cfg, spec,
+                                   OptimizerSpec(name="AdamW",
+                                                 weight_decay=0.0), None)
+    pub_batches = []
+    imgs = np.zeros((P, 16, 16, 3), np.uint8)
+    for s in range(0, P, PUB_B):
+        e = min(s + PUB_B, P)
+        sel = np.concatenate([np.arange(s, e),
+                              np.full((PUB_B - (e - s),), s)]).astype(int)
+        valid = np.zeros((PUB_B,), bool)
+        valid[:e - s] = True
+        pub_batches.append({"img": imgs[sel],
+                            "txt": pub_txt[sel].astype(np.int32),
+                            "didx": sel.astype(np.int32), "valid": valid})
+
+    import jax as _jax
+    stacked = _jax.tree_util.tree_map(lambda x: x[None] + 0, params)
+    ostate = init_opt_state(OptimizerSpec(name="AdamW", weight_decay=0.0),
+                            stacked, n_clients=1)
+    nb = chunk["x"].shape[1] // E   # task batches per epoch
+    for ep in range(E):
+        full = {"x": chunk["x"][:, ep * nb:(ep + 1) * nb],
+                "y": chunk["y"][:, ep * nb:(ep + 1) * nb],
+                "valid": np.ones((1, nb, B), bool),
+                "step_valid": np.ones((1, nb), bool)}
+        rngs = _jax.random.split(_jax.random.PRNGKey(100 + ep), 1)
+        stacked, ostate, _ = update_fn(stacked, ostate, full, rngs,
+                                       jnp.float32(LR), params)
+        for j, b in enumerate(pub_batches):
+            rngs = _jax.random.split(_jax.random.PRNGKey(200 + ep * 10 + j),
+                                     1)
+            stacked, ostate, _ = pub_fn(
+                stacked, ostate, params, _jax.device_put(b),
+                jnp.asarray(g_img), jnp.asarray(g_txt), rngs,
+                jnp.float32(LR))
+
+    _assert_trees_close(stacked, _twin_tree(twin, cfg))
+
+    extract = srv._build_pub_extract("AG_NEWS")
+    fs = [np.asarray(extract(stacked, b["img"],
+                             b["txt"]))[:, :int(b["valid"].sum())]
+          for b in pub_batches]
+    our_feats = np.concatenate([f[0] for f in fs], 0)
+    np.testing.assert_allclose(our_feats, ref_feats, rtol=5e-4, atol=5e-5)

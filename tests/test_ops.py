@@ -147,7 +147,7 @@ def test_step_valid_mask_is_exact_noop():
     p2, s2 = opt_update(spec, params, g, state, 1e-2,
                         step_valid=jnp.asarray(False))
     np.testing.assert_array_equal(np.asarray(p2["w"]), np.ones(3))
-    assert int(s2["t"]) == 0
+    assert int(s2["t"]["w"]) == 0
 
 
 def test_grad_clip_matches_torch():

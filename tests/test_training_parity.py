@@ -126,8 +126,7 @@ def test_adamw_training_matches_torch():
     ospec = OptimizerSpec(name="AdamW", weight_decay=0.0)
     update = build_group_update(cfg, spec, ospec, None)
     stacked = jax.tree_util.tree_map(lambda x: x[None] + 0, params)
-    ostate = init_opt_state(ospec, stacked)
-    ostate["t"] = jnp.zeros((1,), jnp.int32)
+    ostate = init_opt_state(ospec, stacked, n_clients=1)
     chunk = {
         "x": ids[None],                      # [1, S, B, L]
         "y": ys[None],
@@ -409,8 +408,7 @@ def _run_ours(cfg, spec, params, chunk, steps=STEPS,
     ospec = OptimizerSpec(name="AdamW", weight_decay=0.0)
     update = build_group_update(cfg, spec, ospec, None)
     stacked = jax.tree_util.tree_map(lambda x: x[None] + 0, params)
-    ostate = init_opt_state(ospec, stacked)
-    ostate["t"] = jnp.zeros((1,), jnp.int32)
+    ostate = init_opt_state(ospec, stacked, n_clients=1)
     full = dict(chunk)
     full["valid"] = np.ones((1, steps, B), bool)
     full["step_valid"] = np.ones((1, steps), bool)
@@ -695,8 +693,7 @@ def test_two_round_federation_matches_torch():
     for r in range(2):
         stacked = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[None], (2,) + x.shape) + 0, gp)
-        ostate = init_opt_state(ospec, stacked)
-        ostate["t"] = jnp.zeros((2,), jnp.int32)
+        ostate = init_opt_state(ospec, stacked, n_clients=2)
         full = {"x": ids[:, r], "y": ys[:, r],
                 "valid": np.ones((2, STEPS, B), bool),
                 "step_valid": np.ones((2, STEPS), bool)}
