@@ -183,6 +183,25 @@ def test_real_fedproxclient_update_matches_ours(ref_clients):
     _assert_trees_close(stacked, _twin_tree(twin, cfg))
 
 
+def test_real_client_evaluate_is_broken_upstream(ref_clients):
+    """Pin the documented 'broken per-client local eval' quirk (PARITY
+    'Replicate vs fix'): the real FedavgClient.evaluate()
+    (fedavgclient.py:140) calls ``self.model(inputs, task=self.task)``,
+    but the reference's own model forward is ``forward(x, feat_out=False)``
+    (mome.py:881) — the eval_type=local path upstream crashes on the task
+    kwarg, which is why our _local_evaluate is a fix-directive rebuild
+    (evaluating the downloaded global on the holdout), not a port."""
+    FedavgClient, _, _ = ref_clients
+    cfg, params, twin, ids, ys, chunk = _golden_case(seed=67, depth=1)
+    client = _make_client(FedavgClient, ids, ys)
+    client.model = twin            # same forward signature as mome.py:881
+    with pytest.raises(TypeError, match="task"):
+        client.evaluate()
+    # and the train_only short-circuit (fedavgclient.py:120-121) survives
+    client.args.train_only = True
+    assert client.evaluate() == {"loss": -1, "metrics": {"none": -1}}
+
+
 def test_real_creamflclient_update_matches_ours(ref_clients):
     """The real CreamflClient.update() (creamflclient.py:73-246): E=2 task
     epochs each followed by a public contrastive pass over the pub loader
