@@ -303,6 +303,25 @@ def main():
                   f"resident store): {pb_s:.2f} s ({pb_sps:.1f} samples/s)",
                   file=sys.stderr)
 
+    # Regression guard on the defended headline (VERDICT r4 item 8): a
+    # future change must not silently regress the recorded numbers.  The
+    # guard result rides in the JSON record (so each BENCH_r*.json shows
+    # it ran) and failure is loud on stderr; the record still prints so
+    # the regression is captured, not hidden behind a crash.
+    GUARD_MIN_SPS, GUARD_MIN_MFU = 2500.0, 0.42
+    if on_tpu and not math.isnan(ours):
+        if ours >= GUARD_MIN_SPS and mfu >= GUARD_MIN_MFU:
+            guard = (f"pass (headline {ours:.0f}>= {GUARD_MIN_SPS:.0f} "
+                     f"samples/s, mfu {mfu:.3f}>={GUARD_MIN_MFU})")
+        else:
+            guard = (f"FAIL: headline {ours:.0f} samples/s (min "
+                     f"{GUARD_MIN_SPS:.0f}) mfu {mfu:.3f} (min "
+                     f"{GUARD_MIN_MFU}) — regression vs the defended "
+                     f"round-4 numbers")
+            print(f"[bench] HEADLINE GUARD {guard}", file=sys.stderr)
+    else:
+        guard = "skipped (not on TPU or headline section disabled)"
+
     record = {
         "metric": "mm client-update samples/sec/chip "
                   "(ViT-small MAT, COCO shape B=96, drop_path 0.1, "
@@ -319,6 +338,7 @@ def main():
         "round_samples_per_sec": round(round_sps, 1),
         "pathbacked_round_seconds": round(pb_s, 2),
         "pathbacked_round_samples_per_sec": round(pb_sps, 1),
+        "headline_guard": guard,
     }
     # skipped sections (FEDCOLA_BENCH_* = 0) leave NaNs; drop those keys
     # rather than emit non-RFC "NaN" tokens in the machine-readable line

@@ -38,3 +38,7 @@ COMMON="--seed 1 --multi-task \
 
 python main.py --exp_name FedAdam_coco --algorithm fedadam $COMMON
 python main.py --exp_name FedYogi_coco --algorithm fedyogi $COMMON
+# the stability datapoint recorded in docs/evidence (server_lr 0.01):
+# --server_lr appearing after $COMMON overrides the 0.1 inside it
+python main.py --exp_name FedAdam_coco_slr001 --algorithm fedadam \
+  $COMMON --server_lr 0.01
