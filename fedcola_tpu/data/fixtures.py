@@ -22,8 +22,10 @@ Fixtures are content-stamped and cached across runs.
 
 from __future__ import annotations
 
+import csv as _csv
 import json
 import os
+import pickle
 
 import numpy as np
 
@@ -99,6 +101,109 @@ def coco_fixture(root: str, n_train_img: int, n_test_img: int,
     n_codes = n_train_img + (0 if eval_overlap else n_test_img)
     with open(os.path.join(root, "vocab.txt"), "w") as f:
         f.write("\n".join(_vocab(n_codes)))
+    open(stamp, "w").close()
+    return root
+
+
+def cifar100_fixture(root: str, n_train: int = 50000, n_test: int = 10000,
+                     n_classes: int = 100, signal: float = 0.7) -> str:
+    """CIFAR100-format fixture with a LEARNABLE class signal: writes
+    ``cifar-100-python/{train,test}`` pickles (the exact layout
+    ``fetch_cifar100`` parses — reference torchvisionparser.py CIFAR100
+    path) where every image is ``signal * T_c + (1-signal) * noise`` for a
+    fixed per-class 32x32 template ``T_c``.  A nearest-class-mean
+    classifier recovers the label, so central-eval acc1 measures whether
+    the img-cls train/resident-gather/eval path actually learns — the
+    random-label synthetic stand-in is at chance BY CONSTRUCTION and
+    cannot catch a silent bug there (VERDICT r4 missing item 3).
+
+    Same caveat as the retrieval fixtures: templates are random noise, so
+    this is an infrastructure-convergence target (train and test draw
+    from the same per-class templates), not a generalization benchmark."""
+    stamp = os.path.join(
+        root, f"ready_{n_train}_{n_test}_{n_classes}_{signal:g}")
+    if os.path.exists(stamp):
+        return root
+    import glob as _glob
+    for old_stamp in _glob.glob(os.path.join(root, "ready_*")):
+        os.remove(old_stamp)
+    d = os.path.join(root, "cifar-100-python")
+    os.makedirs(d, exist_ok=True)
+    templates = np.stack([
+        np.random.RandomState(7000 + c).randint(0, 256, (32, 32, 3))
+        for c in range(n_classes)]).astype(np.float32)
+
+    def make(split, n, seed):
+        rng = np.random.RandomState(seed)
+        labels = rng.permutation(np.arange(n) % n_classes).astype(np.int64)
+        rows = np.empty((n, 3072), np.uint8)
+        for a in range(0, n, 4096):            # bound the float temporaries
+            b = min(a + 4096, n)
+            noise = rng.randint(0, 256, (b - a, 32, 32, 3)).astype(np.float32)
+            img = np.clip(signal * templates[labels[a:b]]
+                          + (1.0 - signal) * noise, 0, 255).astype(np.uint8)
+            # cifar row layout: R plane, G plane, B plane (3x32x32 C-order)
+            rows[a:b] = img.transpose(0, 3, 1, 2).reshape(b - a, -1)
+        with open(os.path.join(d, split), "wb") as f:
+            pickle.dump({b"data": rows, b"fine_labels": labels.tolist()}, f)
+
+    make("train", n_train, 11)
+    make("test", n_test, 12)
+    open(stamp, "w").close()
+    return root
+
+
+# shared non-signal filler vocabulary for the AG_NEWS fixture
+_AGNEWS_FILLER = ("the and of to in on for with news report today world "
+                  "said new from over about market group first last").split()
+
+
+def agnews_fixture(root: str, n_train: int = 24000, n_test: int = 4000,
+                   n_classes: int = 4, n_words: int = 18,
+                   p_signal: float = 0.6) -> str:
+    """AG_NEWS-format fixture with a LEARNABLE class signal: writes the
+    fast-ai csv layout (``{train,test}.csv``, label column 1-based, title +
+    description columns — the layout ``fetch_torchtext_generic`` parses,
+    reference torchtextparser.py:17-201) plus a ``vocab.txt`` so the
+    ``--use_bert_tokenizer`` path tokenizes every word whole.  Each class
+    draws ``p_signal`` of its words from its own 8-word signature set and
+    the rest from a shared filler pool — bag-of-words separable, so
+    central-eval acc1 on the txt-cls leg measures learning, not chance."""
+    stamp = os.path.join(
+        root, f"ready_{n_train}_{n_test}_{n_classes}_{n_words}_{p_signal:g}")
+    if os.path.exists(stamp):
+        return root
+    import glob as _glob
+    for old in _glob.glob(os.path.join(root, "ready_*")):
+        os.remove(old)
+    # stale torchtext encodings from a previous parameterization would
+    # silently win over the rewritten csvs
+    for old in _glob.glob(os.path.join(root, "tr_*.npz")) + \
+            _glob.glob(os.path.join(root, "te_*.npz")):
+        os.remove(old)
+    os.makedirs(root, exist_ok=True)
+    sig = [[f"sig{c}{k}" for k in range(8)] for c in range(n_classes)]
+
+    def make(split, n, seed):
+        rng = np.random.RandomState(seed)
+        rows = []
+        for i in range(n):
+            c = i % n_classes
+            words = [sig[c][rng.randint(8)] if rng.rand() < p_signal
+                     else _AGNEWS_FILLER[rng.randint(len(_AGNEWS_FILLER))]
+                     for _ in range(n_words)]
+            rows.append((c + 1, " ".join(words[:5]), " ".join(words[5:])))
+        rng.shuffle(rows)
+        with open(os.path.join(root, f"{split}.csv"), "w", newline="",
+                  encoding="utf-8") as f:
+            _csv.writer(f, quoting=_csv.QUOTE_ALL).writerows(rows)
+
+    make("train", n_train, 21)
+    make("test", n_test, 22)
+    with open(os.path.join(root, "vocab.txt"), "w") as f:
+        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+                          + [w for cls in sig for w in cls]
+                          + _AGNEWS_FILLER))
     open(stamp, "w").close()
     return root
 

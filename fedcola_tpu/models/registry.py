@@ -27,11 +27,14 @@ MODEL_SIZES = {
     "mome_small_patch16_224_in21k": (384, 12, 6, "vit_small_patch16_224_in21k", 224),
     "mome_base_patch16_224_ours": (768, 12, 12, "vit_small_patch16_224_ours", 224),
     "mome_toy_patch16_224": (4, 1, 2, None, 224),
-    # test-only sizes (not in the reference): tiny everything, 32px images
-    "mome_test_patch16_32": (8, 2, 2, None, 32),
+    # test-only sizes (not in the reference): tiny everything, 32px
+    # images; the vit_test* sources resolve only through the
+    # FEDCOLA_PRETRAIN_* env hook (no cache file matches them), letting
+    # tests compose --pretrained end-to-end at toy scale
+    "mome_test_patch16_32": (8, 2, 2, "vit_test_patch16_32", 32),
     # 16-dim variant: enough feature capacity for convergence tests
     # (8-dim L2-normalized CLS features can't separate a 40-item gallery)
-    "mome_test16_patch16_32": (16, 2, 2, None, 32),
+    "mome_test16_patch16_32": (16, 2, 2, "vit_test16_patch16_32", 32),
 }
 
 

@@ -20,7 +20,20 @@ from fedcola_tpu.data.fixtures import coco_fixture
 print(coco_fixture("/tmp/fedcola_coco50k/10000_5000_224", 10000, 5000, 224))
 EOF
 )
-echo "[evidence] fixture ready at $CROOT ($(($(date +%s) - T0)) s)"
+# learnable cls-leg fixtures (class-signal CIFAR100/AG_NEWS stand-ins;
+# the old /tmp/missing_* paths fell back to random-label synthetic data
+# whose central acc1 is at chance BY CONSTRUCTION — VERDICT r4 item 2)
+IROOT=$(python - <<'EOF'
+from fedcola_tpu.data.fixtures import cifar100_fixture
+print(cifar100_fixture("/tmp/fedcola_cifar_fx", 50000, 10000))
+EOF
+)
+TROOT=$(python - <<'EOF'
+from fedcola_tpu.data.fixtures import agnews_fixture
+print(agnews_fixture("/tmp/fedcola_agnews_fx", 24000, 4000))
+EOF
+)
+echo "[evidence] fixtures ready at $CROOT / $IROOT / $TROOT ($(($(date +%s) - T0)) s)"
 
 IC=12 TC=12 MC=8
 T1=$(date +%s)
@@ -30,7 +43,7 @@ python main.py --exp_name FedCola50k --algorithm fedavg \
   --seed 1 --multi-task \
   --datasets CIFAR100 AG_NEWS Coco Coco \
   --modalities img txt img+txt img+txt \
-  --data_paths /tmp/missing_cifar /tmp/missing_agnews $CROOT $CROOT \
+  --data_paths $IROOT $TROOT $CROOT $CROOT \
   --Ks $IC $TC $MC --test_size -1 --split_type diri --cncntrtn 0.5 \
   --model_name mome_small_patch16 --resize 224 --imnorm \
   --eval_type global --eval_every 1 --eval_metrics acc1 \

@@ -18,12 +18,24 @@ from fedcola_tpu.data.fixtures import coco_fixture
 print(coco_fixture("/tmp/fedcola_bench_coco/1000_250_224", 1000, 250, 224))
 EOF
 )
+# learnable cls-leg fixtures, grid-sized (class-signal stand-ins; the old
+# /tmp/missing_* paths fell back to chance-by-construction random labels)
+IROOT=$(python - <<'EOF'
+from fedcola_tpu.data.fixtures import cifar100_fixture
+print(cifar100_fixture("/tmp/fedcola_cifar_fx_small", 4800, 1000))
+EOF
+)
+TROOT=$(python - <<'EOF'
+from fedcola_tpu.data.fixtures import agnews_fixture
+print(agnews_fixture("/tmp/fedcola_agnews_fx_small", 4800, 1000))
+EOF
+)
 
 IC=12 TC=12 MC=8
 COMMON="--seed 1 --multi-task \
   --datasets CIFAR100 AG_NEWS Coco Coco \
   --modalities img txt img+txt img+txt \
-  --data_paths /tmp/missing_cifar /tmp/missing_agnews $CROOT $CROOT \
+  --data_paths $IROOT $TROOT $CROOT $CROOT \
   --Ks $IC $TC $MC --test_size -1 --split_type diri --cncntrtn 0.5 \
   --model_name mome_small_patch16 --resize 224 --imnorm \
   --eval_type global --eval_every 5 --eval_metrics acc1 \
