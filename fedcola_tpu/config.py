@@ -221,6 +221,11 @@ class ExperimentConfig:
     # at the canonical client lr 1e-4 the adaptive step caps per-element
     # movement at ~1e-4/round, far slower than plain averaging
     server_lr: Optional[float] = None
+    # FedOpt adaptivity floor tau (framework extension like --server_lr:
+    # the upstream classes read kwargs.get('tau') no caller supplies and
+    # the upstream CLI can't reach them — src/utils.py:206-214 demands
+    # beta1>0 then dereferences an undefined args.beta2)
+    server_tau: float = 1e-3
     synthetic_data: bool = False             # synthetic data plane (benchmarks)
     wandb: bool = False
     num_classes: Optional[int] = None        # filled by the data plane
@@ -377,6 +382,7 @@ def _add_tpu_flags(p: argparse.ArgumentParser) -> None:
     add("--profile_every", type=int, default=0)
     add("--detect_anomaly", action="store_true")
     add("--server_lr", type=float, default=None)
+    add("--server_tau", type=float, default=1e-3)
     add("--moment_dtype", type=str, default="float32",
         choices=["float32", "bfloat16"])
     add("--synthetic_data", action="store_true")

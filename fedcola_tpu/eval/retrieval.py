@@ -136,6 +136,31 @@ def _dedup_align(ids: np.ndarray):
             sorted_idx)
 
 
+def _run_chunked(fwd, params, indices, K, batch_size, resident, mesh_plan):
+    """Drive a chunked single/dual-tower eval forward over ``indices`` in
+    [K, B] pieces; returns the device feature array(s) trimmed to
+    ``len(indices)``."""
+    m = len(indices)
+    n_chunks = -(-m // (K * batch_size))
+    padded = np.full((n_chunks * K * batch_size,), indices[0], np.int32)
+    padded[:m] = indices
+    outs = None
+    for c in range(n_chunks):
+        idxs = padded[c * K * batch_size:(c + 1) * K * batch_size] \
+            .reshape(K, batch_size)
+        if mesh_plan is not None:
+            idxs = mesh_plan.shard_eval_chunk(idxs)
+        f = fwd(params, idxs, resident)
+        parts = f if isinstance(f, tuple) else (f,)
+        if outs is None:
+            outs = tuple([] for _ in parts)
+        for o, p in zip(outs, parts):
+            o.append(p.reshape(-1, p.shape[-1]))
+    flat = tuple(jnp.concatenate(o)[:m] if len(o) > 1 else o[0][:m]
+                 for o in outs)
+    return flat if len(flat) > 1 else flat[0]
+
+
 def _extract_features_resident(cfg: MATConfig, spec: GroupSpec, params,
                                dataset: TaskDataset, batch_size: int,
                                rng, mesh_plan, resident):
@@ -147,10 +172,23 @@ def _extract_features_resident(cfg: MATConfig, spec: GroupSpec, params,
     chunks in and the per-query best-rank vectors out (kilobytes), vs
     ~120 MB of feature readback + re-upload at the COCO 25k/5k shape on
     the host-roundtrip path.  Chunk depth: FEDCOLA_EVAL_CHUNK_STEPS
-    (default 8)."""
-    from fedcola_tpu.parallel.client_update import build_eval_forward_chunked
+    (default 8).
+
+    Deduped-store datasets (path-backed COCO/Flickr) additionally SPLIT
+    the towers: the txt tower runs per caption row but the img tower runs
+    once per UNIQUE image (``img_store`` row) instead of once per caption
+    — bit-identical features (the eval forward is per-sample
+    deterministic; duplicate rows of one image always produced identical
+    features that dedup then discarded) at ~1/5 the img-tower FLOPs,
+    which at the COCO 25k/5k shape is ~3x less extraction work — the
+    dominant retrieval-eval cost (BENCH_NOTES round-4 scale math).  The
+    reference pays the per-row cost (eval_coco.py:135-240); ours is the
+    same math computed once.  FEDCOLA_EVAL_UNIQUE_IMAGES=0 restores the
+    joint per-row path."""
+    from fedcola_tpu.parallel.client_update import (
+        build_eval_forward_chunked, build_eval_img_store_forward_chunked,
+        build_eval_txt_forward_chunked)
     K = int(os.environ.get("FEDCOLA_EVAL_CHUNK_STEPS", "8"))
-    fwd = build_eval_forward_chunked(cfg, spec)
     n = dataset.n
     if mesh_plan is not None:
         batch_size = mesh_plan.pad_eval_batch(batch_size)
@@ -158,27 +196,31 @@ def _extract_features_resident(cfg: MATConfig, spec: GroupSpec, params,
     order = np.arange(n)
     if rng is not None:
         rng.shuffle(order)
-
-    n_chunks = -(-n // (K * batch_size))
-    padded = np.full((n_chunks * K * batch_size,), order[0], np.int32)
-    padded[:n] = order
-    fis, fts = [], []
-    for c in range(n_chunks):
-        idxs = padded[c * K * batch_size:(c + 1) * K * batch_size] \
-            .reshape(K, batch_size)
-        if mesh_plan is not None:
-            idxs = mesh_plan.shard_eval_chunk(idxs)
-        fi, ft = fwd(params, idxs, resident)            # [K, B, D] each
-        fis.append(fi.reshape(-1, fi.shape[-1]))
-        fts.append(ft.reshape(-1, ft.shape[-1]))
-    fi_all = jnp.concatenate(fis)[:n] if len(fis) > 1 else fis[0][:n]
-    ft_all = jnp.concatenate(fts)[:n] if len(fts) > 1 else fts[0][:n]
-
-    # dedup + caption alignment from image ids alone (host-side index
-    # computation shared with the host-roundtrip path, applied here as
-    # device gathers so the features never leave HBM)
     ids = np.asarray(dataset.image_ids)[order]
     img_rows, image_classes, sorted_idx = _dedup_align(ids)
+
+    if ("img_store" in resident
+            and os.environ.get("FEDCOLA_EVAL_UNIQUE_IMAGES", "1") == "1"):
+        ft_all = _run_chunked(build_eval_txt_forward_chunked(cfg, spec),
+                              params, order, K, batch_size, resident,
+                              mesh_plan)
+        n_unique = int(resident["img_store"].shape[0])
+        fi_unique = _run_chunked(
+            build_eval_img_store_forward_chunked(cfg, spec), params,
+            np.arange(n_unique, dtype=np.int32), K, batch_size, resident,
+            mesh_plan)
+        # first-seen dedup row -> its unique-store row
+        store_row = np.asarray(dataset._image_row)[order[img_rows]]
+        image_features = jnp.take(
+            fi_unique, jnp.asarray(store_row.astype(np.int32)), axis=0)
+        caption_features = jnp.take(
+            ft_all, jnp.asarray(sorted_idx.astype(np.int32)), axis=0)
+        return (image_features, caption_features, image_classes,
+                ids[sorted_idx])
+
+    fi_all, ft_all = _run_chunked(build_eval_forward_chunked(cfg, spec),
+                                  params, order, K, batch_size, resident,
+                                  mesh_plan)
     image_features = jnp.take(
         fi_all, jnp.asarray(img_rows.astype(np.int32)), axis=0)
     caption_features = jnp.take(

@@ -97,7 +97,13 @@ class FedOptServer(FedAvgServer):
         self.flavor = cfg.algorithm
         self.b1 = float(cfg.beta1)   # 0.0 (the CLI default) = no momentum
         self.b2 = 0.99
-        self.tau = 1e-3
+        # adaptivity floor (Reddi et al. 2021 tunes tau per workload); the
+        # upstream classes read kwargs.get('tau') that no caller supplies
+        # (fedadam.py:11 -> None -> crash), and the upstream CLI cannot
+        # even reach them: check_args demands beta1>0 then dereferences a
+        # --beta2 flag main.py never defines (src/utils.py:206-214) — so
+        # --server_tau is a framework extension, like --server_lr
+        self.tau = float(getattr(cfg, "server_tau", 1e-3))
         zeros = lambda tree: jax.tree_util.tree_map(jnp.zeros_like, tree)
         self.server_m = {ds: zeros(p) for ds, p in self.global_params.items()}
         self.server_v = {ds: zeros(p) for ds, p in self.global_params.items()}

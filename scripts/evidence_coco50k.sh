@@ -7,11 +7,31 @@
 # materialize + HBM staging MBs (in the log), per-round section timers,
 # and the full 5-fold + 5k retrieval eval time (BENCH_NOTES.md).
 #
-# Usage: scripts/evidence_coco50k.sh [R]   (default 10 rounds)
+# Usage: scripts/evidence_coco50k.sh [R] [EVAL_EVERY]
+#   (default 10 rounds, eval every round; the north-star 100-round run is
+#    `scripts/evidence_coco50k.sh 100 5` with PRETRAINED=1 — main.py always
+#    evaluates at the final round regardless of EVAL_EVERY)
+# PRETRAINED=1 composes --pretrained via a fixed local timm-layout
+# ViT-small checkpoint (see scripts/evidence_pretrained.sh).
 set -e
 cd "$(dirname "$0")/.."
 R=${1:-10}
+EVAL_EVERY=${2:-1}
 OUT=/tmp/fedcola_evidence_coco50k
+
+PRETRAIN_FLAG=""
+if [ "${PRETRAINED:-0}" = "1" ]; then
+  CKPT=$(python - <<'EOF'
+from fedcola_tpu.models.pretrained import write_timm_vit_checkpoint
+print(write_timm_vit_checkpoint(
+    "/tmp/fedcola_pretrain_vit_small_patch16_224.npz",
+    embed_dim=384, depth=12, img_size=224, patch_size=16, seed=5))
+EOF
+)
+  export FEDCOLA_PRETRAIN_VIT_SMALL_PATCH16_224=$CKPT
+  PRETRAIN_FLAG="--pretrained"
+  echo "[evidence] composing --pretrained from $CKPT"
+fi
 
 echo "[evidence] generating 10k/5k 224px fixture (cached across runs)..."
 T0=$(date +%s)
@@ -39,14 +59,14 @@ IC=12 TC=12 MC=8
 T1=$(date +%s)
 python main.py --exp_name FedCola50k --algorithm fedavg \
   --shared_param attn --share_scope modality --colearn_param none \
-  --compensation --with_aux --aux_trained \
+  --compensation --with_aux --aux_trained $PRETRAIN_FLAG \
   --seed 1 --multi-task \
   --datasets CIFAR100 AG_NEWS Coco Coco \
   --modalities img txt img+txt img+txt \
   --data_paths $IROOT $TROOT $CROOT $CROOT \
   --Ks $IC $TC $MC --test_size -1 --split_type diri --cncntrtn 0.5 \
   --model_name mome_small_patch16 --resize 224 --imnorm \
-  --eval_type global --eval_every 1 --eval_metrics acc1 \
+  --eval_type global --eval_every $EVAL_EVERY --eval_metrics acc1 \
   --R $R --Cs 0.25 --E 5 --B 96 --beta1 0 \
   --optimizer AdamW --lr 1e-4 --lr_decay 0.99 --lr_decay_step 1 \
   --criterion CrossEntropyLoss --use_bert_tokenizer \

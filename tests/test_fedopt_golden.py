@@ -235,3 +235,42 @@ def test_real_fedavg_step_is_plain_aggregate_and_our_anchor(ref_opts):
     opt2.accumulate({"w": 0.0}, [("w", torch.tensor(locals_[0]))])  # zero
     opt2.step()
     np.testing.assert_allclose(q.detach().numpy(), g0, rtol=0, atol=0)
+
+
+def test_upstream_cli_cannot_reach_fedopt_family():
+    """The upstream CLI literally cannot run fedadam/fedyogi/fedadagrad:
+    ``check_args`` demands ``beta1 > 0`` (src/utils.py:206-209) but with
+    any positive beta1 immediately dereferences ``args.beta2`` — a flag
+    ``main.py`` never defines (main.py:265 is the only beta flag) — and
+    crashes with AttributeError (src/utils.py:211).  This is why
+    ``--server_lr``/``--server_tau`` + literal ``--beta1`` are framework
+    extensions rather than divergences from runnable upstream behavior."""
+    path = "/root/reference/src/utils.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    saved = {k: sys.modules.get(k) for k in ("src", "src.criterions")}
+    try:
+        pkg = types.ModuleType("src")
+        pkg.__path__ = []
+        sys.modules["src"] = pkg
+        # check_args does `import src.criterions`, whose real __init__
+        # needs torchmultimodal (absent here); the algorithm check under
+        # test runs after it either way
+        sys.modules["src.criterions"] = types.ModuleType("src.criterions")
+        ref_utils = _load_as("ref_utils_check", path)
+        base = dict(server_device="cpu", optimizer="AdamW",
+                    criterion="CrossEntropyLoss", algorithm="fedadam")
+
+        args = types.SimpleNamespace(**base, beta1=0.0)
+        with pytest.raises(AssertionError, match="server momentum"):
+            ref_utils.check_args(args)
+
+        args = types.SimpleNamespace(**base, beta1=0.9)   # no beta2 attr
+        with pytest.raises(AttributeError, match="beta2"):
+            ref_utils.check_args(args)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v

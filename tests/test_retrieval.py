@@ -166,3 +166,56 @@ def test_chunked_resident_extraction_matches_host_path(monkeypatch, k):
     np.testing.assert_array_equal(np.asarray(rcc), hcc)
     np.testing.assert_allclose(np.asarray(ri), hi, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(rc), hc, rtol=1e-5, atol=1e-6)
+
+
+def test_unique_image_extraction_matches_joint_path(monkeypatch):
+    """Deduped-store extraction split (img tower once per UNIQUE image,
+    txt tower per caption row) must be bit-identical to the joint per-row
+    path — the eval forward is per-sample deterministic, so duplicate
+    rows of one image always carried equal features that dedup discarded."""
+    import jax
+    import jax.numpy as jnp
+
+    from fedcola_tpu.data.datasets import TaskDataset
+    from fedcola_tpu.eval.retrieval import extract_features
+    from fedcola_tpu.models.mat import MATConfig, init_mat
+    from fedcola_tpu.parallel.client_update import GroupSpec
+
+    monkeypatch.setenv("FEDCOLA_EVAL_CHUNK_STEPS", "2")
+    cfg = MATConfig(modalities=("img", "txt"), tasks=("rtv", "rtv"),
+                    num_classes=(None, None), embed_dim=8, depth=1,
+                    num_heads=2, vocab_size=40, max_text_len=6,
+                    img_size=16, patch_size=8, drop_path_rate=0.0,
+                    use_pallas=False, compute_dtype="float32")
+    params = init_mat(cfg, jax.random.PRNGKey(0))
+    spec = GroupSpec(modality="img+txt", criterion="ContrastiveLoss")
+
+    rng = np.random.RandomState(3)
+    n_img, n = 10, 50
+    store = rng.randint(0, 256, (n_img, 16, 16, 3)).astype(np.uint8)
+    row = np.repeat(np.arange(n_img), 5).astype(np.int32)
+    texts = rng.randint(5, 40, (n, 6)).astype(np.int32)
+    ds = TaskDataset(name="Coco", task="rtv", modality="img+txt",
+                     num_classes=None, n=n, texts=texts, targets=texts,
+                     image_ids=np.repeat(np.arange(n_img), 5),
+                     ann_ids=np.arange(n),
+                     _image_store=store, _image_row=row)
+    data = {"img_store": jnp.asarray(store), "img_row": jnp.asarray(row),
+            "txt": jnp.asarray(texts)}
+
+    monkeypatch.setenv("FEDCOLA_EVAL_UNIQUE_IMAGES", "1")
+    si, sc, sic, scc = extract_features(cfg, spec, params, ds,
+                                        batch_size=16,
+                                        rng=np.random.RandomState(7),
+                                        resident=data)
+    monkeypatch.setenv("FEDCOLA_EVAL_UNIQUE_IMAGES", "0")
+    ji, jc, jic, jcc = extract_features(cfg, spec, params, ds,
+                                        batch_size=16,
+                                        rng=np.random.RandomState(7),
+                                        resident=data)
+    np.testing.assert_array_equal(np.asarray(sic), np.asarray(jic))
+    np.testing.assert_array_equal(np.asarray(scc), np.asarray(jcc))
+    np.testing.assert_allclose(np.asarray(si), np.asarray(ji),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(jc),
+                               rtol=1e-6, atol=1e-7)
