@@ -71,6 +71,7 @@ python main.py --exp_name FedCola50k --algorithm fedavg \
   --optimizer AdamW --lr 1e-4 --lr_decay 0.99 --lr_decay_step 1 \
   --criterion CrossEntropyLoss --use_bert_tokenizer \
   --equal_sampled --eval_batch_size 512 \
+  --checkpoint_every 25 \
   --result_path $OUT/result --log_path $OUT/log
 echo "[evidence] run finished in $(($(date +%s) - T1)) s total"
 echo "[evidence] results under $OUT/result; startup decode/staging lines in $OUT/log"

@@ -3,9 +3,10 @@
 # scripts/flickr.sh against a REAL path-backed Flickr30k-format fixture
 # (1000 on-disk 224px jpegs, 5 captions/image, learnable image<->caption
 # code), server retrieval eval on a COCO-format fixture (flickr.sh's final
-# dataset is Coco).  CIFAR100/AG_NEWS point at empty dirs, so the loader
-# falls back to synthetic stand-ins with a logged warning — this
-# infrastructure has no egress to download them (BENCH_NOTES.md).
+# dataset is Coco).  CIFAR100/AG_NEWS use the LEARNABLE class-signal
+# fixtures (this environment has no egress to download the real sets;
+# the fixtures carry a real class signal so central acc1 measures
+# learning, not chance — fedcola_tpu/data/fixtures.py).
 #
 # Usage: scripts/evidence_flickr.sh [R]   (default 5 rounds, eval at R)
 set -e
@@ -21,12 +22,22 @@ EOF
 )
 FROOT=$(echo $FIX | cut -d' ' -f1)
 CROOT=$(echo $FIX | cut -d' ' -f2)
+IROOT=$(python - <<'EOF'
+from fedcola_tpu.data.fixtures import cifar100_fixture
+print(cifar100_fixture("/tmp/fedcola_cifar_fx_small", 4800, 1000))
+EOF
+)
+TROOT=$(python - <<'EOF'
+from fedcola_tpu.data.fixtures import agnews_fixture
+print(agnews_fixture("/tmp/fedcola_agnews_fx_small", 4800, 1000))
+EOF
+)
 
 IC=12 TC=12 MC=8
 COMMON="--seed 1 --multi-task \
   --datasets CIFAR100 AG_NEWS Flickr30k Coco \
   --modalities img txt img+txt img+txt \
-  --data_paths /tmp/missing_cifar /tmp/missing_agnews $FROOT $CROOT \
+  --data_paths $IROOT $TROOT $FROOT $CROOT \
   --Ks $IC $TC $MC --test_size -1 --split_type diri --cncntrtn 0.5 \
   --model_name mome_small_patch16 --resize 224 --imnorm \
   --eval_type global --eval_every $R --eval_metrics acc1 \
