@@ -41,8 +41,14 @@ if not TEST_ON_TPU:
 # this file runs, so env vars would be read too late under pytest.
 if not TEST_ON_TPU:
     jax.config.update("jax_disable_most_optimizations", True)
+# keyed by host-CPU fingerprint: XLA:CPU AOT executables bake in the
+# compile host's ISA features, and entries carried across machines (or
+# torn by concurrent pytest processes) have been observed to SIGSEGV
+# inside compilation_cache.get_executable_and_time on read
+from fedcola_tpu.utils.compile_cache import _cpu_fingerprint  # noqa: E402
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "..", ".pytest_cache", "jax-cache"))
+                               "..", ".pytest_cache",
+                               f"jax-cache-{_cpu_fingerprint()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
