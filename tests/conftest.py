@@ -52,3 +52,51 @@ jax.config.update("jax_compilation_cache_dir",
                                f"jax-cache-{_cpu_fingerprint()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import pytest  # noqa: E402
+
+_TORCH_HEAVY_MODULES = {"test_training_parity", "test_torch_parity"}
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the torch-twin parity modules FIRST.
+
+    XLA:CPU codegen segfaults compiling one of their programs when it is
+    first compiled late in a long torch+jax process (observed
+    deterministically at suite position ~260 in rounds 4/5 whenever the
+    compile-cache entry was cold; the same tests pass reliably in
+    fresh-process state).  Compiling them before the rest of the suite
+    sidesteps the poisoned-state codegen path; they are order-independent
+    tests, so fronting them changes nothing else."""
+    front, rest = [], []
+    for it in items:
+        (front if it.path.stem in _TORCH_HEAVY_MODULES else rest).append(it)
+    items[:] = front + rest
+
+
+@pytest.fixture(autouse=True)
+def _no_persistent_cache_for_torch_twins(request):
+    """Skip the persistent compile cache inside the torch-twin files.
+
+    Late in a full-suite run (after ~250 tests have exercised torch
+    dynamo + jax in one process) both serializing AND deserializing one
+    of these files' CPU executables segfaults inside
+    ``compilation_cache.{put,get}_executable_and_time`` — an
+    LLVM-statics collision between torch's and XLA's in-process LLVMs.
+    Their programs are tiny (depth<=4 toy models), so skipping the cache
+    costs little; every other file keeps it."""
+    mod = request.module.__name__.rsplit(".", 1)[-1]
+    if mod in _TORCH_HEAVY_MODULES:
+        # both the flag flip AND reset_cache(): jax memoizes its
+        # "is the cache used" decision on first compile, so flipping the
+        # flag (or the dir) alone is a no-op later in the process
+        from jax._src import compilation_cache as _cc
+        jax.config.update("jax_enable_compilation_cache", False)
+        _cc.reset_cache()
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_compilation_cache", True)
+            _cc.reset_cache()
+    else:
+        yield
