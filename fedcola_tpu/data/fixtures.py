@@ -55,14 +55,32 @@ def _caption(i: int, c: int) -> str:
 def coco_fixture(root: str, n_train_img: int, n_test_img: int,
                  size: int, eval_overlap: bool = True) -> str:
     """COCO-format fixture: ``annotations/captions_{train,val}2014.json``
-    + ``all_images/`` jpegs + ``vocab.txt`` (the layout ``fetch_coco``
-    parses; reference coco.py via pycocotools)."""
+    + ``all_images/`` jpegs + ``vocab.txt`` + ``coco_{train,test}_ids.npy``
+    (the layout ``fetch_coco`` parses; reference coco.py via pycocotools).
+
+    The id lists contain exactly the sorted annotation ids of each split
+    (train aids are ``arange(5*n_train_img)``, test aids are offset by
+    1e7), so ``fetch_coco`` selects the same rows with or without them —
+    they exist so the CreamFL public-set loader (``fetch_coco_public``,
+    reference creamflserver.py:107 ``coco_train_ids.npy[-num_pub_samples:]``)
+    resolves REAL fixture captions instead of falling back to synthetic."""
     assert not eval_overlap or n_test_img <= n_train_img, (
         "eval_overlap reuses train_{i}.jpg for the test split, so it "
         f"needs n_test_img ({n_test_img}) <= n_train_img ({n_train_img})")
+
+    def ensure_id_files():
+        # idempotent: also upgrades fixtures stamped before these existed
+        tr = os.path.join(root, "coco_train_ids.npy")
+        te = os.path.join(root, "coco_test_ids.npy")
+        if not os.path.exists(tr):
+            np.save(tr, np.arange(5 * n_train_img, dtype=np.int64))
+        if not os.path.exists(te):
+            np.save(te, 10 ** 7 + np.arange(5 * n_test_img, dtype=np.int64))
+
     stamp = os.path.join(
         root, f"ready_{n_train_img}_{n_test_img}_{size}_{int(eval_overlap)}")
     if os.path.exists(stamp):
+        ensure_id_files()
         return root
     # the generated files (annotations/csvs/vocab.txt) are shared per
     # root: a rebuild with different parameters overwrites them, so any
@@ -101,6 +119,7 @@ def coco_fixture(root: str, n_train_img: int, n_test_img: int,
     n_codes = n_train_img + (0 if eval_overlap else n_test_img)
     with open(os.path.join(root, "vocab.txt"), "w") as f:
         f.write("\n".join(_vocab(n_codes)))
+    ensure_id_files()
     open(stamp, "w").close()
     return root
 

@@ -9,9 +9,12 @@
 #
 # Usage: scripts/evidence_coco50k.sh [R] [EVAL_EVERY]
 #   (default 10 rounds, eval every round; the north-star 100-round run is
-#    `scripts/evidence_coco50k.sh 100 5` with PRETRAINED=1 — main.py always
-#    evaluates at the final round regardless of EVAL_EVERY)
-# PRETRAINED=1 composes --pretrained via a fixed local timm-layout
+#    `scripts/evidence_coco50k.sh 100 5` — main.py always evaluates at
+#    the final round regardless of EVAL_EVERY.  The north star keeps the
+#    default init: the only local "pretrained" checkpoint is random
+#    weights in timm layout, which proves composition but slows mm
+#    learning — BENCH_NOTES "Round-5 --pretrained composed".)
+# PRETRAINED=1 composes --pretrained via that fixed local timm-layout
 # ViT-small checkpoint (see scripts/evidence_pretrained.sh).
 set -e
 cd "$(dirname "$0")/.."

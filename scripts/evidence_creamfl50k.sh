@@ -5,8 +5,10 @@
 # with the full 25k/5k retrieval eval — exercising the public-set
 # staging + KD distillation HBM interplay on top of the already-resident
 # 2.28 GB train/eval stores (BENCH_NOTES round-4 ledger).  Public set:
-# 500 samples from the fixture's val2014 annotations (the reference's
-# default pub source), pub_batch_size 128 as in the canonical line.
+# the LAST 500 train annotation ids from the fixture's coco_train_ids.npy
+# (exactly the reference recipe — creamflserver.py:107 loads
+# coco_train_ids.npy[-num_pub_samples:] against captions_train2014.json,
+# scripts/coco.sh:16), pub_batch_size 128 as in the canonical line.
 #
 # Usage: scripts/evidence_creamfl50k.sh [R]   (default 10 rounds)
 set -e
@@ -36,7 +38,7 @@ python main.py --exp_name CreamFL50k --algorithm creamfl \
   --interintra_weight 1 --kd_weight 1e-7 --no_mm_contrastive \
   --num_pub_samples 500 --pub_batch_size 128 \
   --pub_data_dir $CROOT/all_images/ \
-  --pub_anno_path $CROOT/annotations/captions_val2014.json \
+  --pub_anno_path $CROOT/annotations/captions_train2014.json \
   --seed 1 --multi-task \
   --datasets CIFAR100 AG_NEWS Coco Coco \
   --modalities img txt img+txt img+txt \

@@ -207,6 +207,29 @@ def test_fixture_generators_load_through_real_fetchers(tmp_path):
     assert ds.materialize_images()
     assert ds._image_store.shape == (4, 24, 24, 3)
 
+    # the fixture also writes coco_{train,test}_ids.npy holding exactly
+    # each split's sorted annotation ids, so (a) fetch_coco selects the
+    # SAME rows with the id files as without them, and (b) the CreamFL
+    # public loader (creamflserver.py:107 recipe) resolves REAL fixture
+    # captions instead of warning into the synthetic fallback
+    import os as _os
+    from fedcola_tpu.data.datasets import fetch_coco_public
+    assert _os.path.exists(_os.path.join(croot, "coco_train_ids.npy"))
+    _os.rename(_os.path.join(croot, "coco_train_ids.npy"),
+               _os.path.join(croot, "ids.bak"))
+    ds_noids = fetch_coco(croot, train=True, tokenizer=tok, seq_len=12,
+                          image_size=24)
+    _os.rename(_os.path.join(croot, "ids.bak"),
+               _os.path.join(croot, "coco_train_ids.npy"))
+    np.testing.assert_array_equal(ds.ann_ids, ds_noids.ann_ids)
+    pub = fetch_coco_public(
+        _os.path.join(croot, "all_images"),
+        _os.path.join(croot, "annotations", "captions_train2014.json"),
+        tok, seq_len=12, num_pub_samples=7)
+    assert pub.n == 7
+    np.testing.assert_array_equal(pub.ann_ids, ds.ann_ids[-7:])
+    np.testing.assert_array_equal(pub.texts, ds.texts[-7:])
+
     froot = flickr_fixture(str(tmp_path / "flickr"), 4, 3, 24)
     ftok = get_tokenizer(data_path=froot, dataset="Flickr30k")
     fds = fetch_flickr30k(froot, train=True, tokenizer=ftok, seq_len=12,
