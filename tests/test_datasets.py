@@ -229,6 +229,11 @@ def test_fixture_generators_load_through_real_fetchers(tmp_path):
     assert pub.n == 7
     np.testing.assert_array_equal(pub.ann_ids, ds.ann_ids[-7:])
     np.testing.assert_array_equal(pub.texts, ds.texts[-7:])
+    # upgrade path: a fixture stamped before the id files existed gets
+    # them on the next coco_fixture() call without a rebuild
+    _os.remove(_os.path.join(croot, "coco_train_ids.npy"))
+    assert coco_fixture(str(tmp_path / "coco"), 4, 3, 24) == croot
+    assert _os.path.exists(_os.path.join(croot, "coco_train_ids.npy"))
 
     froot = flickr_fixture(str(tmp_path / "flickr"), 4, 3, 24)
     ftok = get_tokenizer(data_path=froot, dataset="Flickr30k")
