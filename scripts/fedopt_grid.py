@@ -99,6 +99,10 @@ def main():
                     default="docs/evidence/fedcola_fedopt_grid_v5e.json")
     ap.add_argument("--smoke", action="store_true",
                     help="CPU smoke: toy model/fixtures, 2-combo grid")
+    ap.add_argument("--fedavg-baseline", action="store_true",
+                    help="run ONE plain-fedavg combo on the identical "
+                         "workload and append it to --out as the "
+                         "apples-to-apples baseline row")
     args = ap.parse_args()
 
     smoke = {}
@@ -120,6 +124,26 @@ def main():
     kw0 = base_kwargs(croot, iroot, troot, args.rounds, **smoke)
     data = load_federated_data(check_args(ExperimentConfig(**kw0)),
                                np.random.RandomState(1))
+
+    if args.fedavg_baseline:
+        # Same fixtures, same rounds, plain fedavg — the comparison row
+        # the fedadam grid is judged against.  Appends into --out.
+        kw = base_kwargs(croot, iroot, troot, args.rounds, **smoke,
+                         exp_name="grid_fedavg_baseline")
+        evals, wall = run_combo(data, kw)
+        with open(args.out) as f:
+            out = json.load(f)
+        out["fedavg_baseline"] = {"wall_s": round(wall, 1),
+                                  "evals": evals}
+        last = evals.get(args.rounds, {})
+        print(f"[grid] fedavg baseline: "
+              f"r@1sum@r{args.rounds}={last.get('r@1sum')} "
+              f"cifar={last.get('CIFAR100_acc1')} "
+              f"agnews={last.get('AG_NEWS_acc1')} ({wall:.0f}s)",
+              flush=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        return
 
     out = {"workload": "coco.sh FedCola line, 1000-image path-backed "
                        "fixture + grid-sized learnable cls fixtures",
