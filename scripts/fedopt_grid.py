@@ -103,6 +103,10 @@ def main():
                     help="run ONE plain-fedavg combo on the identical "
                          "workload and append it to --out as the "
                          "apples-to-apples baseline row")
+    ap.add_argument("--combo", nargs=3, type=float, metavar=("SLR", "TAU", "B1"),
+                    help="run ONE fedadam combo (e.g. --combo 0.01 1e-2 0 "
+                         "--rounds 30) and append it to --out under "
+                         "'extended_runs'")
     args = ap.parse_args()
 
     smoke = {}
@@ -125,6 +129,29 @@ def main():
     data = load_federated_data(check_args(ExperimentConfig(**kw0)),
                                np.random.RandomState(1))
 
+    if args.combo:
+        slr, tau, b1 = args.combo
+        kw = base_kwargs(croot, iroot, troot, args.rounds, **smoke,
+                         algorithm="fedadam", server_lr=slr,
+                         server_tau=tau, beta1=b1,
+                         exp_name=f"grid_ext_slr{slr}_tau{tau}_b1{b1}")
+        evals, wall = run_combo(data, kw)
+        with open(args.out) as f:
+            out = json.load(f)
+        out.setdefault("extended_runs", []).append(
+            {"server_lr": slr, "tau": tau, "beta1": b1,
+             "rounds": args.rounds, "wall_s": round(wall, 1),
+             "evals": evals})
+        last = evals.get(args.rounds, {})
+        print(f"[grid] extended slr={slr} tau={tau} b1={b1} "
+              f"R={args.rounds}: r@1sum@r{args.rounds}="
+              f"{last.get('r@1sum')} cifar={last.get('CIFAR100_acc1')} "
+              f"agnews={last.get('AG_NEWS_acc1')} ({wall:.0f}s)",
+              flush=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        return
+
     if args.fedavg_baseline:
         # Same fixtures, same rounds, plain fedavg — the comparison row
         # the fedadam grid is judged against.  Appends into --out.
@@ -133,8 +160,12 @@ def main():
         evals, wall = run_combo(data, kw)
         with open(args.out) as f:
             out = json.load(f)
-        out["fedavg_baseline"] = {"wall_s": round(wall, 1),
-                                  "evals": evals}
+        rec = {"wall_s": round(wall, 1), "evals": evals}
+        if "fedavg_baseline" in out:   # keep the first; extras keyed by R
+            out.setdefault("extended_runs", []).append(
+                dict(algorithm="fedavg", rounds=args.rounds, **rec))
+        else:
+            out["fedavg_baseline"] = rec
         last = evals.get(args.rounds, {})
         print(f"[grid] fedavg baseline: "
               f"r@1sum@r{args.rounds}={last.get('r@1sum')} "
