@@ -104,9 +104,12 @@ def main():
                          "workload and append it to --out as the "
                          "apples-to-apples baseline row")
     ap.add_argument("--combo", nargs=3, type=float, metavar=("SLR", "TAU", "B1"),
-                    help="run ONE fedadam combo (e.g. --combo 0.01 1e-2 0 "
+                    help="run ONE combo (e.g. --combo 0.01 1e-2 0 "
                          "--rounds 30) and append it to --out under "
                          "'extended_runs'")
+    ap.add_argument("--combo-algorithm", default="fedadam",
+                    choices=["fedadam", "fedyogi", "fedadagrad", "fedavgm"],
+                    help="server optimizer for --combo (default fedadam)")
     args = ap.parse_args()
 
     smoke = {}
@@ -131,19 +134,20 @@ def main():
 
     if args.combo:
         slr, tau, b1 = args.combo
+        algo = args.combo_algorithm
         kw = base_kwargs(croot, iroot, troot, args.rounds, **smoke,
-                         algorithm="fedadam", server_lr=slr,
+                         algorithm=algo, server_lr=slr,
                          server_tau=tau, beta1=b1,
-                         exp_name=f"grid_ext_slr{slr}_tau{tau}_b1{b1}")
+                         exp_name=f"grid_ext_{algo}_slr{slr}_tau{tau}_b1{b1}")
         evals, wall = run_combo(data, kw)
         with open(args.out) as f:
             out = json.load(f)
         out.setdefault("extended_runs", []).append(
-            {"server_lr": slr, "tau": tau, "beta1": b1,
+            {"algorithm": algo, "server_lr": slr, "tau": tau, "beta1": b1,
              "rounds": args.rounds, "wall_s": round(wall, 1),
              "evals": evals})
         last = evals.get(args.rounds, {})
-        print(f"[grid] extended slr={slr} tau={tau} b1={b1} "
+        print(f"[grid] extended {algo} slr={slr} tau={tau} b1={b1} "
               f"R={args.rounds}: r@1sum@r{args.rounds}="
               f"{last.get('r@1sum')} cifar={last.get('CIFAR100_acc1')} "
               f"agnews={last.get('AG_NEWS_acc1')} ({wall:.0f}s)",
