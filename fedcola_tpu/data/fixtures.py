@@ -227,6 +227,43 @@ def agnews_fixture(root: str, n_train: int = 24000, n_test: int = 4000,
     return root
 
 
+def medmnist_fixture(root: str, n_train: int = 2200, n_test: int = 550,
+                     n_classes: int = 11, flag: str = "organcmnist") -> str:
+    """MedMNIST-format fixture with a LEARNABLE class signal: writes
+    ``<flag>.npz`` with ``{train,test}_images`` (N,28,28 uint8) and
+    ``{train,test}_labels`` (N,1) — the exact layout ``fetch_medmnist``
+    parses (reference medmnist.py:11-70; organcmnist is what the ct/img
+    modality flags map to).  Each class brightens its own 6x6 patch of a
+    dim-noise image (patch position = class index on a 4-wide grid), so
+    a patch-mean classifier recovers the label and central acc1 on the
+    MedMNIST leg measures learning, not 1/n_classes chance."""
+    assert n_classes <= 12, "patch grid holds 3 rows x 4 cols of 6x6 cells"
+    stamp = os.path.join(root, f"ready_med_{n_train}_{n_test}_{n_classes}")
+    if os.path.exists(stamp):
+        return root
+    import glob as _glob
+    for old in _glob.glob(os.path.join(root, "ready_med_*")):
+        os.remove(old)
+    os.makedirs(root, exist_ok=True)
+
+    def make(n, seed):
+        rng = np.random.RandomState(seed)
+        ys = rng.randint(0, n_classes, n)
+        imgs = (rng.rand(n, 28, 28) * 60).astype(np.uint8)
+        for i, y in enumerate(ys):
+            r, c = divmod(int(y), 4)
+            imgs[i, 2 + 6 * r:8 + 6 * r, 2 + 6 * c:8 + 6 * c] += 160
+        return imgs, ys.astype(np.int64).reshape(-1, 1)
+
+    tr_x, tr_y = make(n_train, 7)
+    te_x, te_y = make(n_test, 8)
+    np.savez(os.path.join(root, f"{flag}.npz"),
+             train_images=tr_x, train_labels=tr_y,
+             test_images=te_x, test_labels=te_y)
+    open(stamp, "w").close()
+    return root
+
+
 def flickr_fixture(root: str, n_train_img: int, n_test_img: int,
                    size: int, eval_overlap: bool = True) -> str:
     """Flickr30k-format fixture: ``{train,test}.csv`` pipe-CSVs

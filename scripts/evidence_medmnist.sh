@@ -15,23 +15,11 @@ set -e
 cd "$(dirname "$0")/.."
 R=${1:-4}
 
-DATA=/tmp/fedcola_evidence_medmnist
-mkdir -p $DATA
-python - <<'EOF'
-import numpy as np
-rng = np.random.RandomState(7)
-def make(n):
-    ys = rng.randint(0, 11, n)
-    imgs = (rng.rand(n, 28, 28) * 60).astype(np.uint8)
-    for i, y in enumerate(ys):
-        r, c = divmod(int(y), 4)
-        imgs[i, 2+6*r:2+6*r+6, 2+6*c:2+6*c+6] += 160
-    return imgs, ys.astype(np.int64).reshape(-1, 1)
-tr_x, tr_y = make(2200); te_x, te_y = make(550)
-np.savez("/tmp/fedcola_evidence_medmnist/organcmnist.npz",
-         train_images=tr_x, train_labels=tr_y,
-         test_images=te_x, test_labels=te_y)
+DATA=$(python - <<'EOF'
+from fedcola_tpu.data.fixtures import medmnist_fixture
+print(medmnist_fixture("/tmp/fedcola_evidence_medmnist", 2200, 550))
 EOF
+)
 
 COMMON="--multi-task --seed 5 \
   --datasets MedMNIST MedMNIST --modalities ct ct \

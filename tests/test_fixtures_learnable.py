@@ -46,6 +46,23 @@ def test_cifar100_fixture_learnable_by_nearest_mean(cifar_root):
     assert acc > 0.8, f"nearest-class-mean acc {acc} (chance 0.05)"
 
 
+def test_medmnist_fixture_learnable_by_nearest_mean(tmp_path):
+    from fedcola_tpu.data.datasets import fetch_medmnist
+    from fedcola_tpu.data.fixtures import medmnist_fixture
+    root = medmnist_fixture(str(tmp_path / "med_fx"), 800, 220)
+    # through the REAL npz reader, via the ct->organcmnist flag map
+    train = fetch_medmnist(root, True, modality_flag="ct")
+    test = fetch_medmnist(root, False, modality_flag="ct")
+    assert train.images.shape == (800, 28, 28, 1)
+    assert set(np.unique(train.targets)) == set(range(11))
+    x_tr = train.images.reshape(train.n, -1).astype(np.float32)
+    x_te = test.images.reshape(test.n, -1).astype(np.float32)
+    means = np.stack([x_tr[train.targets == c].mean(0) for c in range(11)])
+    pred = np.argmin(((x_te[:, None, :] - means[None]) ** 2).sum(-1), axis=1)
+    acc = float(np.mean(pred == test.targets))
+    assert acc > 0.9, f"nearest-class-mean acc {acc} (chance 0.091)"
+
+
 def test_agnews_fixture_learnable_by_bow(agnews_root):
     from fedcola_tpu.data.torchtext import fetch_torchtext_generic
     train = fetch_torchtext_generic("AG_NEWS", agnews_root, True, seq_len=24)
